@@ -1,0 +1,25 @@
+"""Test configuration: force an 8-device virtual CPU mesh.
+
+Tests never require TPU hardware; multi-device sharding tests run on the
+host CPU with XLA's virtual device partitioning.
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+# Parity tests compare against float32 torch/scipy references; JAX's default
+# matmul/conv precision truncates inputs to bf16 even on CPU.
+jax.config.update("jax_default_matmul_precision", "float32")
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)

@@ -1,0 +1,117 @@
+"""Shape/dtype tests for the generator and discriminator, plus torch-parity
+checks of the conv-transpose re-formulations."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from uncltmo_tpu.models.unet import UNetTMO, video_apply
+from uncltmo_tpu.models.discriminator import SimpleDiscriminator
+
+
+@pytest.fixture(scope="module")
+def gen_and_vars():
+    model = UNetTMO()
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                    jnp.zeros((1, 256, 256, 1)))
+    return model, variables
+
+
+def test_unet_shapes(gen_and_vars):
+    model, variables = gen_and_vars
+    x = jnp.ones((2, 256, 256, 1)) * 0.5
+    out, up_x = jax.jit(model.apply)(variables, x)
+    assert out.shape == (2, 256, 256, 1)
+    assert up_x.shape == (2, 256, 256, 32)
+    assert bool(jnp.all((out >= 0) & (out <= 1)))  # sigmoid head
+
+
+def test_unet_param_count(gen_and_vars):
+    # Published arch ~ a few M params; sanity-bound it.
+    _, variables = gen_and_vars
+    n = sum(int(np.prod(p.shape)) for p in
+            jax.tree_util.tree_leaves(variables["params"]))
+    assert 3_000_000 < n < 30_000_000, n
+
+
+def test_unet_video_recurrence(gen_and_vars):
+    model, variables = gen_and_vars
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 3, 256, 256, 1))
+    vapply = jax.jit(lambda v, x: video_apply(model, v, x))
+    outs, feats = vapply(variables, x)
+    assert outs.shape == (1, 3, 256, 256, 1)
+    assert feats.shape == (1, 3, 64)
+    # frame 1 under the video recurrence differs from the same frame run
+    # standalone (the carry from frame 0 modifies the activations)
+    solo, _ = jax.jit(model.apply)(variables, x[:, 1])
+    assert not np.allclose(np.asarray(outs[:, 1]), np.asarray(solo), atol=1e-6)
+
+
+def test_unet_frame_carry_shapes(gen_and_vars):
+    model, variables = gen_and_vars
+    x = jnp.ones((1, 256, 256, 1))
+    frame = jax.jit(lambda v, x, c: model.apply(v, x, c, method=UNetTMO.frame))
+    out, up_x, carry = frame(variables, x, None)
+    chans = [c.shape[-1] for c in carry]
+    assert chans == [1, 2, 4, 8, 8, 4, 2, 1]
+    sizes = [c.shape[1] for c in carry]
+    assert sizes == [252, 122, 57, 24, 12, 28, 61, 126]
+    # second frame consumes the carry without shape errors
+    out2, _, carry2 = frame(variables, x, carry)
+    assert out2.shape == out.shape
+
+
+def test_discriminator_shapes():
+    model = SimpleDiscriminator()
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                    jnp.zeros((1, 256, 256, 1)))
+    logit, fea = jax.jit(model.apply)(variables, jnp.ones((3, 256, 256, 1)))
+    assert logit.shape == (3, 1)
+    assert fea.shape == (3, 1, 1, 2)
+
+
+def test_convt3x3_matches_torch():
+    """Full-pad conv with flipped kernel == torch ConvTranspose2d(3,1,0)."""
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+    from uncltmo_tpu.models.blocks import ConvT3x3
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 8, 8, 5)).astype(np.float32)
+    w_t = rng.standard_normal((5, 7, 3, 3)).astype(np.float32)  # (I, O, kH, kW)
+    b = rng.standard_normal((7,)).astype(np.float32)
+
+    ref = F.conv_transpose2d(torch.tensor(x.transpose(0, 3, 1, 2)),
+                             torch.tensor(w_t), torch.tensor(b),
+                             stride=1, padding=0).numpy().transpose(0, 2, 3, 1)
+
+    # converter rule: flax kernel = flip(transpose(w_t, (2,3,0,1)) spatially)
+    kern = np.flip(w_t.transpose(2, 3, 0, 1), axis=(0, 1)).copy()
+    mod = ConvT3x3(7)
+    variables = {"params": {"Conv_0": {"kernel": jnp.asarray(kern),
+                                       "bias": jnp.asarray(b)}}}
+    out = mod.apply(variables, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)
+
+
+def test_upconvt2x2_matches_torch():
+    """Einsum upsample == torch ConvTranspose2d(2,2,0)."""
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+    from uncltmo_tpu.models.blocks import UpConvT2x2
+
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((2, 6, 6, 4)).astype(np.float32)
+    w_t = rng.standard_normal((4, 4, 2, 2)).astype(np.float32)
+    b = rng.standard_normal((4,)).astype(np.float32)
+
+    ref = F.conv_transpose2d(torch.tensor(x.transpose(0, 3, 1, 2)),
+                             torch.tensor(w_t), torch.tensor(b),
+                             stride=2, padding=0).numpy().transpose(0, 2, 3, 1)
+
+    kern = w_t.transpose(2, 3, 0, 1)  # (kH, kW, I, O), no flip
+    mod = UpConvT2x2(4)
+    variables = {"params": {"kernel": jnp.asarray(kern),
+                            "bias": jnp.asarray(b)}}
+    out = mod.apply(variables, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)

@@ -1,0 +1,279 @@
+"""U-Net building blocks (Flax / NHWC).
+
+TPU-native re-design of `models/unet_multi_filters/unet_parts.py` and
+`models/Blocks.py` from the reference.  Key mapping decisions:
+
+* All tensors are NHWC; conv kernels are HWIO.
+* `ConvTranspose2d(k=3, s=1, p=0)` (decoder "transpose conv") is implemented
+  as a regular convolution with FULL padding (2, 2) — mathematically identical
+  when the stored kernel is the spatially-flipped transpose-conv kernel.  The
+  checkpoint converter performs the flip once at load time; fresh training
+  just learns the kernel directly.  This keeps the op on the stock XLA conv
+  path (MXU) instead of an input-dilated conv.
+* `ConvTranspose2d(k=2, s=2, p=0)` (decoder upsample) has non-overlapping
+  output blocks, so it is an einsum + reshape: out[2i+a, 2j+b] =
+  x[i, j] @ W[a, b].  One batched matmul on the MXU, no scatter.
+* Replicate padding == jnp.pad(mode='edge').
+
+Reference citations are given per block.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from uncltmo_tpu import params
+
+# Xavier-normal with gain sqrt(2): the init the reference applies to every
+# conv/linear (`utils/model_save_util.py:41-47`).  std = 2 / sqrt(fi + fo)
+# == variance_scaling(scale=2, fan_avg, normal).
+xavier_gain2 = nn.initializers.variance_scaling(2.0, "fan_avg", "normal")
+
+
+def activation_fn(name: str):
+    if name == "relu":
+        return nn.relu
+    if name == "leakyrelu":
+        return lambda x: nn.leaky_relu(x, negative_slope=0.2)
+    raise ValueError(f"Unsupported activation: {name}")
+
+
+def _maybe_norm(unet_norm: str, x: jnp.ndarray) -> jnp.ndarray:
+    if unet_norm == "none":
+        return x
+    if unet_norm == "instance_norm":
+        # torch InstanceNorm2d(affine=False, eps=1e-5)
+        mu = jnp.mean(x, axis=(1, 2), keepdims=True)
+        var = jnp.var(x, axis=(1, 2), keepdims=True)
+        return (x - mu) * jax.lax.rsqrt(var + 1e-5)
+    raise ValueError(f"Unsupported unet_norm: {unet_norm}")
+
+
+class Conv3x3(nn.Module):
+    """3x3 conv, stride 1.  `pad` in {0: valid, 1: zero-SAME}."""
+    features: int
+    pad: int = 0
+
+    @nn.compact
+    def __call__(self, x):
+        padding = "VALID" if self.pad == 0 else [(1, 1), (1, 1)]
+        return nn.Conv(self.features, (3, 3), padding=padding,
+                       kernel_init=xavier_gain2)(x)
+
+
+class ConvT3x3(nn.Module):
+    """ConvTranspose2d(k=3, s=1, p=0) == full-padded conv with flipped kernel.
+
+    Spatial size grows by 2 (reference `unet_parts.py:149`, `:162`).
+    """
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(self.features, (3, 3), padding=[(2, 2), (2, 2)],
+                       kernel_init=xavier_gain2)(x)
+
+
+class UpConvT2x2(nn.Module):
+    """ConvTranspose2d(k=2, s=2, p=0): exact 2x upsample via einsum
+    (reference `unet_parts.py:269-271` with convtranspose_kernel=2)."""
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        kernel = self.param("kernel", xavier_gain2, (2, 2, c, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        # out[b, 2i+a, 2j+d, o] = sum_c x[b,i,j,c] * kernel[a,d,c,o]
+        y = jnp.einsum("bhwc,adco->bhawdo", x, kernel)
+        y = y.reshape(b, 2 * h, 2 * w, self.features) + bias
+        return y
+
+
+def zero_insert_upsample(x: jnp.ndarray) -> jnp.ndarray:
+    """The `up_mode` fixed-weight upsample (reference `unet_parts.py:284-288`):
+    nearest-corner zero insertion, out[2i, 2j] = x[i, j], rest 0."""
+    b, h, w, c = x.shape
+    y = jnp.zeros((b, h, 2, w, 2, c), dtype=x.dtype)
+    y = y.at[:, :, 0, :, 0, :].set(x)
+    return y.reshape(b, 2 * h, 2 * w, c)
+
+
+class DoubleConv(nn.Module):
+    """(conv3x3 => [norm] => act) * 2 (reference `unet_parts.py:10-87`).
+
+    With `post_pad_replicate` (the `up_mode and not doubleConvTranspose`
+    path, `unet_parts.py:65-68`) each valid conv is followed by a 1-px
+    replicate pad, keeping the size constant.
+    """
+    out_ch: int
+    unet_norm: str = "none"
+    activation: str = "relu"
+    pad: int = 0
+    post_pad_replicate: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        act = activation_fn(self.activation)
+        for i in range(2):
+            x = Conv3x3(self.out_ch, self.pad, name=f"conv{i}")(x)
+            if self.post_pad_replicate:
+                x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+            x = _maybe_norm(self.unet_norm, x)
+            x = act(x)
+        return x
+
+
+class DoubleConvT(nn.Module):
+    """(convT3x3 => [norm] => act) * 2 (reference `unet_parts.py:144-193`);
+    grows spatial size by 4."""
+    out_ch: int
+    unet_norm: str = "none"
+    activation: str = "relu"
+
+    @nn.compact
+    def __call__(self, x):
+        act = activation_fn(self.activation)
+        for i in range(2):
+            x = ConvT3x3(self.out_ch, name=f"convt{i}")(x)
+            x = _maybe_norm(self.unet_norm, x)
+            x = act(x)
+        return x
+
+
+class DoubleLastConv(nn.Module):
+    """conv3x3 => act => [convT3x3 => act if doubleConvTranspose]
+    (reference `unet_parts.py:90-141`)."""
+    out_ch: int
+    unet_norm: str = "none"
+    activation: str = "relu"
+    pad: int = 0
+    double_conv_transpose: bool = True
+    post_pad_replicate: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        act = activation_fn(self.activation)
+        x = Conv3x3(self.out_ch, self.pad, name="conv")(x)
+        if self.post_pad_replicate:
+            x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+        x = _maybe_norm(self.unet_norm, x)
+        x = act(x)
+        if self.double_conv_transpose:
+            x = ConvT3x3(self.out_ch, name="convt")(x)
+            x = _maybe_norm(self.unet_norm, x)
+            x = act(x)
+        return x
+
+
+def max_pool_2(x: jnp.ndarray) -> jnp.ndarray:
+    return nn.max_pool(x, (2, 2), strides=(2, 2), padding="VALID")
+
+
+def concat_skip(x2: jnp.ndarray, x1: jnp.ndarray, con_operator: str,
+                d_weight_mul=1.0) -> jnp.ndarray:
+    """Skip-connection concat with the nonlinear expansions
+    (reference `unet_parts.py:311-332`).  x2: encoder skip, x1: upsampled."""
+    eps = params.EPSILON
+    if con_operator == params.ORIGINAL_UNET:
+        return jnp.concatenate([x2, x1], axis=-1)
+    if con_operator == params.SQUARE:
+        return jnp.concatenate([x2, x1, jnp.square(x2)], axis=-1)
+    if con_operator == params.SQUARE_ROOT:
+        return jnp.concatenate([x2, x1, jnp.power(x2 + eps, 0.5)], axis=-1)
+    if con_operator == params.SQUARE_AND_SQUARE_ROOT:
+        return jnp.concatenate(
+            [x2, x1, jnp.square(x2), jnp.power(x2 + eps, 0.5)], axis=-1)
+    if con_operator == params.GAMMA:
+        return jnp.concatenate([x2, x1, jnp.power(x2 + eps, 0.02)], axis=-1)
+    if con_operator == params.SQUARE_AND_SQUARE_ROOT_MANUAL_D:
+        w = jnp.full(x2.shape[:3] + (1,), d_weight_mul, dtype=x2.dtype)
+        return jnp.concatenate(
+            [w, x2, x1, jnp.square(x2), jnp.power(x2 + eps, 0.5)], axis=-1)
+    raise ValueError(f"Unsupported con_operator: {con_operator}")
+
+
+class Up(nn.Module):
+    """Upsample + skip concat + double (transpose) conv
+    (reference `unet_parts.py:243-335`)."""
+    out_ch: int
+    con_operator: str
+    unet_norm: str = "none"
+    activation: str = "relu"
+    double_conv_transpose: bool = True
+    up_mode: bool = False
+    bilinear: bool = False
+    pad: int = 0
+    padding_mode: str = "edge"
+
+    @nn.compact
+    def __call__(self, x1, x2, d_weight_mul=1.0):
+        if self.up_mode:
+            x1 = zero_insert_upsample(x1)
+        elif self.bilinear:
+            b, h, w, c = x1.shape
+            x1 = jax.image.resize(x1, (b, 2 * h, 2 * w, c), method="nearest")
+            x1 = nn.Conv(c, (1, 1), kernel_init=xavier_gain2, name="up1x1")(x1)
+        else:
+            x1 = UpConvT2x2(x1.shape[-1], name="up")(x1)
+        diffY = x2.shape[1] - x1.shape[1]
+        diffX = x2.shape[2] - x1.shape[2]
+        if diffY or diffX:
+            # torch F.pad with the model's padding_mode ('replicate' in the
+            # published config); reference `unet_parts.py:297-298`.
+            x1 = jnp.pad(
+                x1,
+                ((0, 0), (diffY // 2, diffY - diffY // 2),
+                 (diffX // 2, diffX - diffX // 2), (0, 0)),
+                mode=self.padding_mode)
+        x = concat_skip(x2, x1, self.con_operator, d_weight_mul)
+        if self.double_conv_transpose:
+            x = DoubleConvT(self.out_ch, self.unet_norm, self.activation,
+                            name="conv")(x)
+        else:
+            x = DoubleConv(self.out_ch, self.unet_norm, self.activation,
+                           pad=self.pad,
+                           post_pad_replicate=self.up_mode,
+                           name="conv")(x)
+        return x
+
+
+class OutConv(nn.Module):
+    """1x1 projection head (reference `unet_parts.py:338-345`)."""
+    out_ch: int
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(self.out_ch, (1, 1), kernel_init=xavier_gain2)(x)
+
+
+def my_sig(x: jnp.ndarray, factor: float = 3.0) -> jnp.ndarray:
+    """Blocks.MySig (reference `models/Blocks.py:85-91`)."""
+    return 1.0 / (1.0 + jnp.exp(-factor * x))
+
+
+def batch_max_normalization(x: jnp.ndarray) -> jnp.ndarray:
+    return x / x.max()
+
+
+def min_max_normalization(x: jnp.ndarray) -> jnp.ndarray:
+    b = x.shape[0]
+    flat = x.reshape(b, -1)
+    xmax = flat.max(axis=1).reshape(b, 1, 1, 1)
+    xmin = flat.min(axis=1).reshape(b, 1, 1, 1)
+    return (x - xmin) / (xmax - xmin + params.EPSILON)
+
+
+def last_layer_fn(name: str):
+    if name == "sigmoid":
+        return nn.sigmoid
+    if name == "tanh":
+        return jnp.tanh
+    if name == "msig":
+        return my_sig
+    if name == "none":
+        return lambda x: x
+    raise ValueError(f"Unsupported last_layer: {name}")

@@ -1,0 +1,143 @@
+"""Discriminators (Flax / NHWC).
+
+TPU-native re-design of `models/Discriminator.py`.  The published config uses
+`SimpleDiscriminator` (d_model="simpleD", `config.py:44`) with
+d_down_dim=16, d_norm=none, d_last_activation=none, simpleD_maxpool=0,
+d_padding=0; the legacy DCGAN / PatchGAN / multiscale variants are provided
+for CLI-compat completeness.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from uncltmo_tpu.models.blocks import xavier_gain2, activation_fn, _maybe_norm
+from uncltmo_tpu.ops.resize import bicubic_half
+from uncltmo_tpu.ops.windows import adaptive_avg_pool_1, contrast_map
+
+
+def _pad_arg(padding: int):
+    return "VALID" if padding == 0 else [(padding, padding)] * 2
+
+
+class SimpleDiscriminator(nn.Module):
+    """conv4s2 -> LReLU -> conv4s2 [-> LReLU -> 1x1 conv] -> flatten+linear.
+
+    Returns (logit (B, 1), feature (B, 2)) where the feature is
+    avgpool(fea) ++ avgpool(contrast(fea)) (reference
+    `models/Discriminator.py:87-126`).
+    """
+    input_size: int = 256
+    dim: int = 16
+    norm: str = "none"
+    last_activation: str = "none"
+    simpleD_maxpool: bool = False
+    padding: int = 0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        lrelu = activation_fn("leakyrelu")
+        pad = _pad_arg(self.padding)
+        x = nn.Conv(self.dim, (4, 4), strides=(2, 2), padding=pad,
+                    kernel_init=xavier_gain2, name="conv0")(x)
+        x = lrelu(x)
+        x = nn.Conv(self.dim * 2, (4, 4), strides=(2, 2), padding=pad,
+                    kernel_init=xavier_gain2, name="conv1")(x)
+        if self.simpleD_maxpool:
+            fea = jnp.max(x, axis=(1, 2), keepdims=True)
+            last_dim = self.dim * 2
+        else:
+            x = lrelu(x)
+            fea = nn.Conv(1, (1, 1), kernel_init=xavier_gain2, name="conv2")(x)
+            if self.padding:
+                last_dim = (self.input_size // 4) ** 2
+            else:
+                last_dim = ((self.input_size // 2 - 1) // 2 - 1) ** 2
+        flat = fea.reshape(fea.shape[0], -1)
+        assert flat.shape[1] == last_dim, (flat.shape, last_dim)
+        out = nn.Dense(1, use_bias=False, kernel_init=xavier_gain2,
+                       name="tail")(flat)
+        if self.last_activation == "sigmoid":
+            out = nn.sigmoid(out)
+        fea1 = adaptive_avg_pool_1(fea)
+        if fea.shape[1] >= 11 and fea.shape[2] >= 11:
+            fea2 = adaptive_avg_pool_1(contrast_map(fea))
+        else:  # maxpool variant: 1x1 spatial, no contrast stats possible
+            fea2 = jnp.zeros_like(fea1)
+        fea_final = jnp.concatenate([fea1, fea2], axis=-1)
+        return out, fea_final.reshape(fea_final.shape[0], 1, 1, -1)
+
+
+class NLayerDiscriminator(nn.Module):
+    """PatchGAN discriminator (reference `Discriminator.py:129-167`)."""
+    ndf: int = 64
+    n_layers: int = 3
+    norm: str = "batch_norm"
+    last_activation: str = "none"
+
+    @nn.compact
+    def __call__(self, x):
+        lrelu = activation_fn("leakyrelu")
+        pad = [(1, 1), (1, 1)]
+        x = nn.Conv(self.ndf, (4, 4), strides=(2, 2), padding=pad,
+                    kernel_init=xavier_gain2)(x)
+        x = lrelu(x)
+        nf = 1
+        for n in range(1, self.n_layers):
+            nf = min(2 ** n, 8)
+            x = nn.Conv(self.ndf * nf, (4, 4), strides=(2, 2), padding=pad,
+                        use_bias=False, kernel_init=xavier_gain2)(x)
+            x = _maybe_norm("instance_norm" if self.norm == "instance_norm"
+                            else "none", x)
+            x = lrelu(x)
+        nf = min(2 ** self.n_layers, 8)
+        x = nn.Conv(self.ndf * nf, (4, 4), strides=(1, 1), padding=pad,
+                    use_bias=False, kernel_init=xavier_gain2)(x)
+        x = lrelu(x)
+        x = nn.Conv(1, (4, 4), strides=(1, 1), padding=pad,
+                    kernel_init=xavier_gain2)(x)
+        if self.last_activation == "sigmoid":
+            x = nn.sigmoid(x)
+        return x
+
+
+class MultiscaleDiscriminator(nn.Module):
+    """num_D SimpleDiscriminators over a bicubic half-resolution pyramid
+    (reference `Discriminator.py:170-206`)."""
+    input_size: int = 256
+    dim: int = 16
+    num_D: int = 3
+    norm: str = "none"
+    last_activation: str = "none"
+    simpleD_maxpool: bool = False
+    padding: int = 0
+
+    @nn.compact
+    def __call__(self, x):
+        results = []
+        size = self.input_size
+        for i in range(self.num_D):
+            d = SimpleDiscriminator(size, self.dim, self.norm,
+                                    self.last_activation, self.simpleD_maxpool,
+                                    self.padding, name=f"layer{i}")
+            results.append(d(x))
+            if i != self.num_D - 1:
+                x = bicubic_half(x)
+                size //= 2
+        return results
+
+
+def make_discriminator(opt=None, **overrides):
+    kw: dict = {}
+    if opt is not None:
+        if opt.d_model == "simpleD":
+            kw = dict(input_size=256, dim=opt.d_down_dim, norm=opt.d_norm,
+                      last_activation=opt.d_last_activation,
+                      simpleD_maxpool=bool(opt.simpleD_maxpool),
+                      padding=opt.d_padding)
+        else:
+            raise ValueError(f"Unsupported d_model: {opt.d_model}")
+    kw.update(overrides)
+    return SimpleDiscriminator(**kw)

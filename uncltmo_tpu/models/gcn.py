@@ -1,0 +1,172 @@
+"""ViG-style GCN bottleneck (Flax / NHWC).
+
+TPU-native re-design of `models/unet_multi_filters/gcn_lib/` +
+`GCNBlock`/`FFN` (`models/unet_multi_filters/Unet.py:20-99`).
+
+The bottleneck grid is fixed at 12x12 = 144 nodes, so the dense KNN is a
+144x144 distance matrix + top_k — a trivial pure-XLA op (two small matmuls
+and a sort), not a custom kernel.  The max-relative graph conv becomes a
+gather (`take_along_axis`) + max + two 1x1 "convs" that are plain matmuls on
+the MXU.
+
+Numerics parity notes:
+* KNN distances use L2-normalized features (`gcn_lib/torch_edge.py:152-155`)
+  and are computed under stop_gradient (torch.no_grad,
+  `torch_edge.py:17`, `:62`).
+* The (negated) fixed relative-position bias is the 2-D sincos embedding
+  gram matrix (`gcn_lib/pos_embed.py:21-28`); it is deterministic, so it is
+  regenerated at init instead of being stored as a parameter.
+* MRConv2d interleaves [x, max_rel] channel-pairwise before the grouped
+  (groups=4) 1x1 conv (`gcn_lib/torch_vertex.py:27-29`) — the converter and
+  this module preserve that exact channel order.
+* GELU is the exact (erf) variant (torch nn.GELU default).
+"""
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from uncltmo_tpu.models.blocks import xavier_gain2
+
+
+def sincos_pos_embed_2d(embed_dim: int, grid_size: int) -> np.ndarray:
+    """2-D sine-cosine positional embedding, (grid_size^2, embed_dim)
+    (reference `gcn_lib/pos_embed.py:38-85`)."""
+    assert embed_dim % 4 == 0
+
+    def emb_1d(dim, pos):
+        omega = np.arange(dim // 2, dtype=np.float64) / (dim / 2.0)
+        omega = 1.0 / 10000 ** omega
+        out = np.einsum("m,d->md", pos.reshape(-1), omega)
+        return np.concatenate([np.sin(out), np.cos(out)], axis=1)
+
+    grid_h = np.arange(grid_size, dtype=np.float32)
+    grid_w = np.arange(grid_size, dtype=np.float32)
+    # meshgrid(w, h): grid[0] varies along w (fastest axis), grid[1] along h.
+    gw, gh = np.meshgrid(grid_w, grid_h)
+    emb_h = emb_1d(embed_dim // 2, gw)
+    emb_w = emb_1d(embed_dim // 2, gh)
+    return np.concatenate([emb_h, emb_w], axis=1)
+
+
+def relative_pos_bias(embed_dim: int, grid_size: int) -> np.ndarray:
+    """-(2 * P P^T / dim): the additive KNN distance bias, (n, n)
+    (reference `gcn_lib/pos_embed.py:21-28` negated at `torch_vertex.py:227`)."""
+    p = sincos_pos_embed_2d(embed_dim, grid_size)
+    rel = 2.0 * (p @ p.T) / p.shape[1]
+    return (-rel).astype(np.float32)
+
+
+def dense_knn(nodes: jnp.ndarray, k: int, rel_pos: jnp.ndarray) -> jnp.ndarray:
+    """k nearest neighbours of every node.
+
+    nodes: (B, N, C) raw features.  Distances are computed on L2-normalized
+    features with the relative-position bias added, all under stop_gradient.
+    Returns int32 indices (B, N, k).
+    """
+    x = jax.lax.stop_gradient(nodes)
+    x = x * jax.lax.rsqrt(
+        jnp.sum(x * x, axis=-1, keepdims=True) + 1e-24)
+    sq = jnp.sum(x * x, axis=-1, keepdims=True)        # (B, N, 1)
+    dist = sq - 2.0 * jnp.einsum("bnc,bmc->bnm", x, x) + jnp.swapaxes(sq, 1, 2)
+    dist = dist + rel_pos[None]
+    _, idx = jax.lax.top_k(-dist, k)
+    return idx
+
+
+class GroupedDense(nn.Module):
+    """Grouped 1x1 conv over node features == block-diagonal matmul
+    (reference `gcn_lib/torch_nn.py:54-78`, Conv2d(..., 1, groups=4))."""
+    features: int
+    groups: int = 4
+
+    @nn.compact
+    def __call__(self, x):  # x: (B, N, C)
+        b, n, c = x.shape
+        g = self.groups
+        kernel = self.param(
+            "kernel",
+            nn.initializers.variance_scaling(2.0, "fan_in", "normal"),
+            (g, c // g, self.features // g))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        y = jnp.einsum("bngi,gio->bngo", x.reshape(b, n, g, c // g), kernel)
+        return y.reshape(b, n, self.features) + bias
+
+
+def drop_path(x: jnp.ndarray, rate: float, deterministic: bool,
+              rng=None) -> jnp.ndarray:
+    """Per-sample stochastic depth (timm DropPath)."""
+    if deterministic or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jax.random.bernoulli(rng, keep, shape).astype(x.dtype)
+    return x * mask / keep
+
+
+class GrapherFFN(nn.Module):
+    """One Grapher_noBN + FFN pair (the single GCN bottleneck block,
+    `models/unet_multi_filters/Unet.py:69-80` with blocks=[1])."""
+    ch: int
+    k: int = 9
+    grid: int = 12
+    drop_path_rate: float = 0.05
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        b, h, w, c = x.shape
+        n = h * w
+        rel_pos = jnp.asarray(relative_pos_bias(self.ch, self.grid))
+        nodes_in = x.reshape(b, n, c)
+
+        # ---- Grapher_noBN (`gcn_lib/torch_vertex.py:181-227`)
+        shortcut = nodes_in
+        nodes = nn.Dense(self.ch, kernel_init=xavier_gain2, name="fc1")(nodes_in)
+        idx = dense_knn(nodes, self.k, rel_pos)              # (B, N, k)
+        x_j = _gather_nodes(nodes, idx)                      # (B, N, k, C)
+        rel = jnp.max(x_j - nodes[:, :, None, :], axis=2)    # (B, N, C)
+        # channel-interleave [x, rel] -> 2C (`torch_vertex.py:28-29`)
+        mr = jnp.stack([nodes, rel], axis=-1).reshape(b, n, 2 * c)
+        mr = GroupedDense(2 * self.ch, groups=4, name="gconv")(mr)
+        mr = jax.nn.gelu(mr, approximate=False)
+        out = nn.Dense(self.ch, kernel_init=xavier_gain2, name="fc2")(mr)
+        rng = self.make_rng("droppath") if not deterministic else None
+        out = drop_path(out, self.drop_path_rate, deterministic, rng) + shortcut
+
+        # ---- FFN (`models/unet_multi_filters/Unet.py:20-42`)
+        shortcut = out
+        y = nn.Dense(self.ch, kernel_init=xavier_gain2, name="ffn_fc1")(out)
+        y = jax.nn.gelu(y, approximate=False)
+        y = nn.Dense(self.ch, kernel_init=xavier_gain2, name="ffn_fc2")(y)
+        rng = self.make_rng("droppath") if not deterministic else None
+        y = drop_path(y, self.drop_path_rate, deterministic, rng) + shortcut
+        return y.reshape(b, h, w, c)
+
+
+def _gather_nodes(nodes: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """nodes: (B, N, C), idx: (B, N, k) -> (B, N, k, C)."""
+    b, n, c = nodes.shape
+    k = idx.shape[-1]
+    flat = jnp.take_along_axis(
+        nodes[:, None, :, :],                # (B, 1, N, C)
+        idx.reshape(b, 1, n * k, 1),         # (B, 1, N*k, 1)
+        axis=2)
+    return flat.reshape(b, n, k, c)
+
+
+class GCNBlock(nn.Module):
+    """pos_embed add + GrapherFFN (reference `Unet.py:44-99`)."""
+    ch: int
+    grid: int = 12
+    k: int = 9
+    drop_path_rate: float = 0.05
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        pos = self.param("pos_embed", nn.initializers.zeros,
+                         (1, self.grid, self.grid, self.ch))
+        x = x + pos
+        return GrapherFFN(self.ch, self.k, self.grid, self.drop_path_rate,
+                          name="grapher")(x, deterministic=deterministic)

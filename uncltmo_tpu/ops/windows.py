@@ -1,0 +1,120 @@
+"""Fused sliding-window statistics (mean / variance / covariance).
+
+This is the shared primitive behind three reference components that each
+re-implemented it separately:
+  - the contrast extractor (11x11 Gaussian local variance,
+    `models/Discriminator.py:50-83`, `GanTrainer.py:25-57`),
+  - the structural loss window stats (5x5 box, `models/struct_loss.py:57-87`),
+  - TMQI's S-map local statistics (11x11 Gaussian, `TMQI.py:174-207`).
+
+All windows used are separable (outer products of a 1-D kernel), so every
+window statistic is computed as two 1-D valid convolutions — HBM-friendly on
+TPU and fusable by XLA into neighbouring elementwise work.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+
+@functools.lru_cache(maxsize=None)
+def gaussian_kernel_1d(size: int = 11, sigma: float = 1.5) -> np.ndarray:
+    """Sampled (non-normalized) Gaussian, like `scipy.signal.gaussian`."""
+    n = np.arange(0, size) - (size - 1.0) / 2.0
+    return np.exp(-(n ** 2) / (2.0 * sigma ** 2))
+
+
+@functools.lru_cache(maxsize=None)
+def fspecial_gauss_1d(size: int = 11, sigma: float = 1.5) -> np.ndarray:
+    """1-D factor of the reference's `fspecial_gauss(size, sigma)` 2-D window.
+
+    The 2-D window is exp(-(x^2+y^2)/2s^2) / sum == outer(g, g)/sum(g)^2 with
+    g the *integer-grid* Gaussian over [-size//2+1, size//2] — for odd size
+    this is the symmetric grid -(size-1)/2 .. (size-1)/2.
+    """
+    g = gaussian_kernel_1d(size, sigma)
+    return g / g.sum()
+
+
+@functools.lru_cache(maxsize=None)
+def box_kernel_1d(size: int = 5) -> np.ndarray:
+    return np.full((size,), 1.0 / size)
+
+
+def _conv1d_valid(x: jnp.ndarray, k: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Valid 1-D convolution of NHWC tensor along H (axis=1) or W (axis=2),
+    applied depthwise (same kernel every channel)."""
+    c = x.shape[-1]
+    ksz = k.shape[0]
+    if axis == 1:
+        kern = k.reshape(ksz, 1, 1, 1)
+    else:
+        kern = k.reshape(1, ksz, 1, 1)
+    kern = jnp.tile(kern.astype(x.dtype), (1, 1, 1, c))
+    return lax.conv_general_dilated(
+        x, kern, window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c)
+
+
+def window_mean(x: jnp.ndarray, k1d) -> jnp.ndarray:
+    """Separable valid window filter of NHWC tensor."""
+    k = jnp.asarray(k1d, dtype=x.dtype)
+    return _conv1d_valid(_conv1d_valid(x, k, axis=1), k, axis=2)
+
+
+def window_var(x: jnp.ndarray, k1d) -> jnp.ndarray:
+    """sigma^2 = W*(x^2) - (W*x)^2 with a normalized separable window."""
+    mu = window_mean(x, k1d)
+    return window_mean(x * x, k1d) - mu * mu
+
+
+def window_stats(x: jnp.ndarray, y: jnp.ndarray, k1d):
+    """(mu_x, mu_y, var_x, var_y, cov_xy) under a separable window (valid)."""
+    mu_x = window_mean(x, k1d)
+    mu_y = window_mean(y, k1d)
+    var_x = window_mean(x * x, k1d) - mu_x * mu_x
+    var_y = window_mean(y * y, k1d) - mu_y * mu_y
+    cov = window_mean(x * y, k1d) - mu_x * mu_y
+    return mu_x, mu_y, var_x, var_y, cov
+
+
+def contrast_map(x: jnp.ndarray, size: int = 11, sigma: float = 1.5
+                 ) -> jnp.ndarray:
+    """11x11 Gaussian local-variance map (the reference's ContrastExtracter).
+
+    x: NHWC -> NHWC with H, W reduced by size-1 (valid).  Negative values are
+    possible (numerical), matching the reference which does not clamp.
+    """
+    return window_var(x, fspecial_gauss_1d(size, sigma))
+
+
+def adaptive_avg_pool_1(x: jnp.ndarray) -> jnp.ndarray:
+    """Global average pool NHWC -> N11C (torch adaptive_avg_pool2d(1))."""
+    return jnp.mean(x, axis=(1, 2), keepdims=True)
+
+
+def block_std_mean(x: jnp.ndarray, block: int = 11) -> jnp.ndarray:
+    """Mean of per-block (block x block, non-overlapping) std deviations.
+
+    Pads H, W with zeros up to a multiple of `block` exactly like TMQI's
+    naturalness term (`TMQI.py:219-229`, matlab-style zero pad), then takes
+    the population std (ddof=0) of each block and averages.
+
+    x: (H, W) -> scalar.
+    """
+    h, w = x.shape
+    # NOTE the reference computes the pad as (11 - dim % 11) even when
+    # dim % 11 == 0, i.e. it always appends at least one full zero block
+    # (`TMQI.py:220-224`); reproduce that behaviour.
+    ph = block - h % block
+    pw = block - w % block
+    x = jnp.pad(x, ((0, ph), (0, pw)), mode="constant")
+    hb, wb = x.shape[0] // block, x.shape[1] // block
+    v = x.reshape(hb, block, wb, block).transpose(0, 2, 1, 3)
+    v = v.reshape(hb, wb, block * block)
+    return jnp.mean(jnp.std(v, axis=-1))
