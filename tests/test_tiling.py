@@ -1,0 +1,97 @@
+"""Tile-plan parity tests.
+
+`sequential_blend_1d` below is an independent re-implementation of the
+reference's sequential cross-fade semantics (`utils/model_save_util.py:
+409-486`): regular 256-px tiles at stride (tile-overlap), linear ramps with
+denominator (overlap-1), and a final tile anchored at L-tile blended over
+last_range pixels.  The vectorized plan must reproduce it bit-for-bit in
+exact arithmetic.
+"""
+import numpy as np
+import pytest
+
+from uncltmo_tpu.inference.tiling import axis_plan, tile_plan
+
+
+def sequential_blend_1d(L, tile, overlap, tile_outputs):
+    acc = np.zeros(L)
+    idx = 1
+    e = None
+    while tile * idx - overlap * (idx - 1) < L:
+        b = (tile - overlap) * (idx - 1)
+        e = b + tile
+        out = tile_outputs[idx - 1]
+        if idx == 1:
+            acc[b:e] = out
+        else:
+            for i in range(overlap):
+                acc[b + i] = (acc[b + i] * (overlap - 1 - i) / (overlap - 1)
+                              + out[i] * i / (overlap - 1))
+            acc[b + overlap:e] = out[overlap:]
+        idx += 1
+    out = tile_outputs[idx - 1]
+    lr = e - (L - tile)
+    for i in range(lr):
+        acc[L - tile + i] = (acc[L - tile + i] * (lr - 1 - i) / (lr - 1)
+                             + out[i] * i / (lr - 1))
+    acc[e:] = out[lr:]
+    return acc
+
+
+@pytest.mark.parametrize("L", [272, 280, 320, 448, 464, 512, 530, 1088, 1936])
+def test_axis_plan_matches_sequential(L):
+    tile, overlap = 256, 64
+    plan = axis_plan(L, tile, overlap)
+    rng = np.random.default_rng(L)
+    outs = [rng.standard_normal(tile) for _ in plan.origins]
+    ref = sequential_blend_1d(L, tile, overlap, outs)
+    rec = np.zeros(L)
+    for o, w, out in zip(plan.origins, plan.weights, outs):
+        rec[o:o + tile] += w * out
+    np.testing.assert_allclose(rec, ref, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("L", [272, 448, 1088, 1936])
+def test_axis_plan_partition_of_unity(L):
+    plan = axis_plan(L)
+    total = np.zeros(L)
+    for o, w in zip(plan.origins, plan.weights):
+        total[o:o + 256] += w
+    np.testing.assert_allclose(total, 1.0, atol=1e-6)
+
+
+def test_axis_plan_overlap_192():
+    plan = axis_plan(1104, tile=256, overlap=192)
+    total = np.zeros(1104)
+    for o, w in zip(plan.origins, plan.weights):
+        total[o:o + 256] += w
+    np.testing.assert_allclose(total, 1.0, atol=1e-6)
+
+
+def test_tile_plan_2d_partition():
+    plan = tile_plan(464, 720)
+    total = np.zeros((464, 720))
+    for (oy, ox), m in zip(plan.origins, plan.masks):
+        total[oy:oy + 256, ox:ox + 256] += m
+    np.testing.assert_allclose(total, 1.0, atol=1e-5)
+
+
+def test_engine_identity_model():
+    """With an identity 'generator' the engine must return the input."""
+    import jax
+    import jax.numpy as jnp
+    import flax.linen as nn
+    from uncltmo_tpu.inference.engine import TileEngine
+
+    class IdModel(nn.Module):
+        @nn.compact
+        def __call__(self, x, **kw):
+            return x[..., :1], x
+
+    model = IdModel()
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 256, 256, 1)))
+    eng = TileEngine(model, variables, chunk=4)
+    img = jnp.asarray(
+        np.random.default_rng(0).random((464, 720, 1)).astype(np.float32))
+    out = eng.run_image(img)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=1e-5)

@@ -42,12 +42,14 @@ def _conv1d_stride2(x: jnp.ndarray, k: jnp.ndarray, axis: int) -> jnp.ndarray:
 def bicubic_half(x: jnp.ndarray) -> jnp.ndarray:
     """NHWC -> NHWC with H, W halved (floor), torch bicubic semantics."""
     k = jnp.asarray(_BICUBIC_HALF_TAPS, dtype=x.dtype)
-    # torch clamps out-of-range taps to the edge: pad 1 left / 2 right.
-    # Output length floor(H/2) consumes taps up to index H+1 (pad 2 covers
-    # odd H as well: last output at i=floor(H/2)-1 needs 2i+2 <= H).
-    xp = jnp.pad(x, ((0, 0), (1, 2), (0, 0), (0, 0)), mode="edge")
+    # torch clamps out-of-range taps to the edge: pad 1 left; on the right
+    # the last output i = floor(H/2)-1 reads tap 2i+2, so pad 2 for even H
+    # (tap index H) and 0 for odd H (tap index H-1 already in range).
+    pr_h = 2 if x.shape[1] % 2 == 0 else 0
+    pr_w = 2 if x.shape[2] % 2 == 0 else 0
+    xp = jnp.pad(x, ((0, 0), (1, pr_h), (0, 0), (0, 0)), mode="edge")
     x = _conv1d_stride2(xp, k, axis=1)
-    xp = jnp.pad(x, ((0, 0), (0, 0), (1, 2), (0, 0)), mode="edge")
+    xp = jnp.pad(x, ((0, 0), (0, 0), (1, pr_w), (0, 0)), mode="edge")
     return _conv1d_stride2(xp, k, axis=2)
 
 
