@@ -63,6 +63,37 @@ def install():
     return True
 
 
+def import_reference_tmqi():
+    """Import the reference TMQI implementation (scipy float64) for use as a
+    test oracle.  Patches the removed scipy.signal.gaussian alias and fakes
+    the `contracts` / `skimage.util.view_as_blocks` dependencies."""
+    import scipy.signal
+    import scipy.signal.windows
+
+    if not hasattr(scipy.signal, "gaussian"):
+        scipy.signal.gaussian = scipy.signal.windows.gaussian
+    if "contracts" not in sys.modules:
+        contracts = types.ModuleType("contracts")
+        contracts.contract = lambda *a, **k: (lambda f: f)
+        sys.modules["contracts"] = contracts
+
+    def view_as_blocks(arr, block_shape):
+        bh, bw = block_shape
+        h, w = arr.shape
+        return (arr.reshape(h // bh, bh, w // bw, bw).swapaxes(1, 2))
+
+    sk = sys.modules.get("skimage") or types.ModuleType("skimage")
+    sku = sys.modules.get("skimage.util") or types.ModuleType("skimage.util")
+    sku.view_as_blocks = view_as_blocks
+    sk.util = sku
+    sys.modules["skimage"] = sk
+    sys.modules["skimage.util"] = sku
+    if REFERENCE_PATH not in sys.path:
+        sys.path.insert(0, REFERENCE_PATH)
+    import TMQI as ref_tmqi
+    return ref_tmqi
+
+
 def build_reference_unet(video=False, **overrides):
     """Instantiate the reference generator in eval mode (published config)."""
     install()

@@ -67,6 +67,41 @@ def window_mean(x: jnp.ndarray, k1d) -> jnp.ndarray:
     return _conv1d_valid(_conv1d_valid(x, k, axis=1), k, axis=2)
 
 
+def _conv1d_full(x: jnp.ndarray, k: jnp.ndarray, axis: int) -> jnp.ndarray:
+    c = x.shape[-1]
+    ksz = k.shape[0]
+    if axis == 1:
+        kern = k.reshape(ksz, 1, 1, 1)
+        padding = [(ksz - 1, ksz - 1), (0, 0)]
+    else:
+        kern = k.reshape(1, ksz, 1, 1)
+        padding = [(0, 0), (ksz - 1, ksz - 1)]
+    kern = jnp.tile(kern.astype(x.dtype), (1, 1, 1, c))
+    return lax.conv_general_dilated(
+        x, kern, window_strides=(1, 1), padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c)
+
+
+def window_mean_auto(x: jnp.ndarray, k1d) -> jnp.ndarray:
+    """`window_mean`, but with scipy.signal.convolve('valid') semantics when
+    the image is smaller than the window in both dims: the roles swap and
+    the output is the region where the *image* fully overlaps the window
+    (used by TMQI's smallest pyramid levels)."""
+    k = jnp.asarray(k1d, dtype=x.dtype)
+    ksz = k.shape[0]
+    h, w = x.shape[1], x.shape[2]
+    if h >= ksz and w >= ksz:
+        return window_mean(x, k)
+    if h > ksz or w > ksz:
+        raise ValueError(
+            f"mixed window/image containment ({h}x{w} vs {ksz}) has no "
+            "scipy 'valid' equivalent")
+    y = _conv1d_full(x, k, axis=1)[:, h - 1:ksz]
+    y = _conv1d_full(y, k, axis=2)[:, :, w - 1:ksz]
+    return y
+
+
 def window_var(x: jnp.ndarray, k1d) -> jnp.ndarray:
     """sigma^2 = W*(x^2) - (W*x)^2 with a normalized separable window."""
     mu = window_mean(x, k1d)
