@@ -2,22 +2,29 @@
 
 Tests never require TPU hardware; multi-device sharding tests run on the
 host CPU with XLA's virtual device partitioning.
+
+NOTE: the env var JAX_PLATFORMS is not sufficient in this environment —
+the axon TPU plugin's sitecustomize forcibly rewrites jax_platforms to
+"axon,cpu", silently routing every test computation through the remote TPU
+tunnel (slow, flaky).  Updating the config *after* importing jax wins.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
-import numpy as np  # noqa: E402
-import pytest  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 # Parity tests compare against float32 torch/scipy references; JAX's default
 # matmul/conv precision truncates inputs to bf16 even on CPU.
 jax.config.update("jax_default_matmul_precision", "float32")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
 
 
 @pytest.fixture(scope="session")
