@@ -19,6 +19,12 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the fused train-step graphs take minutes to
+# compile on CPU; cache them across test runs.
+_CACHE_DIR = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", os.path.abspath(_CACHE_DIR))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 # Parity tests compare against float32 torch/scipy references; JAX's default
 # matmul/conv precision truncates inputs to bf16 even on CPU.
 jax.config.update("jax_default_matmul_precision", "float32")

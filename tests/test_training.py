@@ -1,0 +1,106 @@
+"""Training-step smoke + data-parallel sharding tests (8 virtual CPU devs)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from uncltmo_tpu.config import Options
+from uncltmo_tpu.data.pipeline import SyntheticDataSource, TrainPipeline
+from uncltmo_tpu.models.discriminator import make_discriminator
+from uncltmo_tpu.models.unet import make_generator
+from uncltmo_tpu.parallel import mesh as pmesh
+from uncltmo_tpu.training.state import TrainState, lr_schedule
+from uncltmo_tpu.training.train_step import (LossConfig, make_train_step,
+                                             stage_for_epoch)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    opt = Options(batch_size=2, loss_g_d_factor=0.1,
+                  pyramid_weight_list="0.2,0.4,0.6")
+    gen = make_generator(opt)
+    disc = make_discriminator(opt)
+    kg, kd = jax.random.split(jax.random.PRNGKey(0))
+    g_vars = jax.jit(gen.init)(kg, jnp.zeros((1, 256, 256, 1)))
+    d_vars = jax.jit(disc.init)(kd, jnp.zeros((1, 256, 256, 1)))
+    state = TrainState.create(g_vars["params"], d_vars["params"])
+    cfg = LossConfig(pyramid_weights=(0.2, 0.4, 0.6))
+    step = make_train_step(gen, disc, cfg)
+    return state, step
+
+
+def _batch(rng, b=2):
+    src = SyntheticDataSource()
+    items = [src.sample(rng) for _ in range(b)]
+    return {k: jnp.asarray(np.stack([it[k] for it in items]))
+            for k in items[0]}
+
+
+def test_train_step_stage0(setup, rng):
+    state, step = setup
+    batch = _batch(rng)
+    new_state, logs = step(state, batch, jax.random.PRNGKey(1),
+                           1e-5, 1.5e-5, stage=0)
+    assert np.isfinite(float(logs["errD"]))
+    assert np.isfinite(float(logs["errG_d"]))
+    assert np.isfinite(float(logs["errG_struct"]))
+    # params actually moved
+    leaf = jax.tree_util.tree_leaves(state.params_G)[0]
+    leaf2 = jax.tree_util.tree_leaves(new_state.params_G)[0]
+    assert not np.allclose(np.asarray(leaf), np.asarray(leaf2))
+    assert int(new_state.step) == 1
+
+
+def test_train_step_stage2(setup, rng):
+    state, step = setup
+    batch = _batch(rng)
+    _, logs = step(state, batch, jax.random.PRNGKey(2), 1e-5, 1.5e-5, stage=2)
+    assert np.isfinite(float(logs["errG_d"]))
+
+
+def test_pretrain_step(setup, rng):
+    state, step = setup
+    batch = _batch(rng)
+    new_state, logs = step(state, batch, jax.random.PRNGKey(3),
+                           1e-5, 1.5e-5, stage=0, pretrain=True)
+    assert np.isfinite(float(logs["errD"]))
+    # G untouched during D pre-training
+    for a, b in zip(jax.tree_util.tree_leaves(state.params_G),
+                    jax.tree_util.tree_leaves(new_state.params_G)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_train_step_data_parallel(setup, rng):
+    """Batch sharded over an 8-device mesh; grads all-reduced by XLA."""
+    state, step = setup
+    assert len(jax.devices()) == 8
+    mesh = pmesh.get_mesh()
+    batch = _batch(rng, b=8)
+    sharded = pmesh.shard_batch(jax.device_get(batch), mesh)
+    rep_state = pmesh.replicate_tree(state, mesh)
+    new_state, logs = step(rep_state, sharded, jax.random.PRNGKey(4),
+                           1e-5, 1.5e-5, stage=2)
+    assert np.isfinite(float(logs["errG_d"]))
+    leaf = jax.tree_util.tree_leaves(new_state.params_G)[0]
+    # result stays replicated
+    assert leaf.sharding.is_fully_replicated
+
+
+def test_lr_schedule():
+    assert lr_schedule(1e-5, 0, 50) == pytest.approx(1e-5)
+    assert lr_schedule(1e-5, 50, 50) == pytest.approx(0.5e-5)
+
+
+def test_stage_for_epoch():
+    assert [stage_for_epoch(e) for e in (0, 6, 7, 9, 10, 20)] == \
+        [0, 0, 1, 1, 2, 2]
+
+
+def test_pipeline_batches(rng):
+    pipe = TrainPipeline(SyntheticDataSource(), batch_size=4, seed=0)
+    batches = list(pipe.epoch(0))
+    assert len(batches) == 16
+    b = batches[0]
+    assert b["hdr"].shape == (4, 2, 256, 256, 1)
+    assert b["ldr_pos"].shape == (4, 2, 256, 256, 1)
+    assert b["hdr"].max() <= 1.0 + 1e-6

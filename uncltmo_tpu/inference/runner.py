@@ -1,0 +1,163 @@
+"""End-to-end inference runners: HDR file -> tone-mapped PNG.
+
+Re-design of `utils/model_save_util.py:160-614`.  Host does file I/O and the
+/scale resize only; preprocessing (luma + lambda-log), the tiled forward,
+percentile clamp/stretch, color re-attachment, frame crop, and the final
+display stretch all run in jitted device code.
+"""
+from __future__ import annotations
+
+import functools
+import os
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from uncltmo_tpu.config import options_from_model_params
+from uncltmo_tpu.inference.engine import TileEngine
+from uncltmo_tpu.models.unet import UNetTMO, make_generator
+from uncltmo_tpu.ops import color, preprocess
+from uncltmo_tpu.utils import checkpoint as ckpt
+from uncltmo_tpu.utils.io import (HDR_EXTENSIONS, load_lambda_dict,
+                                  read_hdr_image, save_uint8_png)
+
+
+@functools.partial(jax.jit, static_argnames=("data_trc",))
+def preprocess_device(rgb_hw3: jnp.ndarray, f_factor,
+                      data_trc: str = "min_log"):
+    """RGB HDR -> (min-shifted rgb, lambda-log luma), both unpadded."""
+    rgb = rgb_hw3 - jnp.minimum(rgb_hw3.min(), 0.0)
+    gray = preprocess.hdr_to_network_input(rgb, f_factor, data_trc)
+    return rgb, gray
+
+
+def postprocess_device(rgb_padded: jnp.ndarray, fake: jnp.ndarray,
+                       diffY: int, diffX: int) -> jnp.ndarray:
+    """Percentile clamp/stretch + ratio-image color + frame crop + display
+    stretch (`model_save_util.py:389-405`).  Returns (H, W, 3) in [0, 1]."""
+    fake_stretch = color.percentile_clamp_stretch(fake, 0.5, 99.5)
+    im_color = color.back_to_color(rgb_padded, fake_stretch)
+    im_max = im_color.max()
+    im_color = preprocess.crop_frame(im_color, diffY, diffX)
+    im_color = jnp.clip(im_color, 0.0, im_max)
+    return color.to_01_outlier(im_color)
+
+
+class InferenceRunner:
+    """Loads a generator once and tone-maps images / video scenes."""
+
+    def __init__(self, model_params: Dict, net_path: str,
+                 video: bool = False, tile: int = 256, overlap: int = 64,
+                 dtype=jnp.float32, chunk: int = 16,
+                 params_G=None):
+        self.model_params = model_params
+        opt = options_from_model_params(model_params)
+        self.gen = make_generator(opt)
+        if params_G is None:
+            params_G = ckpt.load_generator_params(net_path)
+        self.engine = TileEngine(self.gen, {"params": params_G},
+                                 tile=tile, overlap=overlap, chunk=chunk,
+                                 dtype=dtype)
+        self.video = video
+        self.factor_coeff = float(model_params.get("factor_coeff", 0.1))
+        self.data_trc = str(model_params.get("data_trc", "min_log"))
+        self._post = {}
+
+    # ------------------------------------------------------------------
+    def _lambda_for(self, f_factor_path: str, key: str) -> float:
+        data = load_lambda_dict(f_factor_path)
+        return float(data[key]) * 255.0 * self.factor_coeff
+
+    def _postprocess(self, rgb_padded, fake, dy, dx):
+        key = (rgb_padded.shape, dy, dx)
+        if key not in self._post:
+            self._post[key] = jax.jit(
+                lambda r, f: postprocess_device(r, f, dy, dx))
+        return self._post[key](rgb_padded, fake)
+
+    def load_image(self, im_path: str, f_factor_path: str,
+                   scale: int = 4):
+        """Host read + /scale resize (`model_save_util.py:219-240`:
+        load_inference2 uses scale=4 for the quarter-res protocol), then
+        device preprocessing + padding."""
+        import cv2
+        f_factor = self._lambda_for(
+            f_factor_path, os.path.splitext(os.path.basename(im_path))[0])
+        rgb_np = read_hdr_image(im_path)
+        if scale != 1:
+            rgb_np = cv2.resize(rgb_np, (rgb_np.shape[1] // scale,
+                                         rgb_np.shape[0] // scale))
+        rgb, gray = preprocess_device(jnp.asarray(rgb_np), f_factor,
+                                      self.data_trc)
+        rgb_p, dy, dx = preprocess.pad_to_unet_grid(rgb)
+        gray_p, dy, dx = preprocess.pad_to_unet_grid(gray)
+        return rgb_p, gray_p, dy, dx
+
+    def run_single_image(self, im_path: str, im_name: str, output_path: str,
+                         f_factor_path: str, scale: int = 4,
+                         suffix: str = "_UnCLTMO") -> str:
+        """`run_model_on_single_image2` equivalent
+        (`model_save_util.py:293-405`)."""
+        rgb_p, gray_p, dy, dx = self.load_image(im_path, f_factor_path, scale)
+        fake = self.engine.run_image(gray_p)
+        out01 = self._postprocess(rgb_p, fake, dy, dx)
+        return save_uint8_png(np.asarray(out01), output_path,
+                              im_name + suffix)
+
+    def run_on_path(self, input_images_path: str, output_images_path: str,
+                    f_factor_path: str, scale: int = 4) -> List[str]:
+        """Per-directory driver (`model_save_util.py:160-174`)."""
+        outs = []
+        for img_name in sorted(os.listdir(input_images_path)):
+            if os.path.splitext(img_name)[1] not in HDR_EXTENSIONS:
+                continue
+            print(f"processing [{img_name}]")
+            outs.append(self.run_single_image(
+                os.path.join(input_images_path, img_name),
+                os.path.splitext(img_name)[0], output_images_path,
+                f_factor_path, scale))
+        return outs
+
+    # ------------------------------------------------------------------
+    def run_video_scene(self, im_paths: List[str], im_names: List[str],
+                        output_path: str, f_factor_path: str,
+                        suffix: str = "_UnCLTMO") -> List[str]:
+        """`run_model_on_video` equivalent (`model_save_util.py:567-614`):
+        per-scene lambda (directory name), stacked frames through the 5-D
+        tiler with temporal recurrence, per-frame postprocess."""
+        scene = os.path.basename(os.path.dirname(im_paths[0]))
+        f_factor = self._lambda_for(f_factor_path, scene)
+        rgbs, grays = [], []
+        dy = dx = 0
+        for p in im_paths:
+            rgb, gray = preprocess_device(jnp.asarray(read_hdr_image(p)),
+                                          f_factor, self.data_trc)
+            rgb_p, dy, dx = preprocess.pad_to_unet_grid(rgb)
+            gray_p, dy, dx = preprocess.pad_to_unet_grid(gray)
+            rgbs.append(rgb_p)
+            grays.append(gray_p)
+        fakes = self.engine.run_video(jnp.stack(grays))
+        save_dir = os.path.join(output_path, scene)
+        outs = []
+        for i, name in enumerate(im_names):
+            out01 = self._postprocess(rgbs[i], fakes[i], dy, dx)
+            outs.append(save_uint8_png(np.asarray(out01), save_dir,
+                                       name + suffix))
+        return outs
+
+    def run_on_video_path(self, input_images_path: str,
+                          output_images_path: str, f_factor_path: str
+                          ) -> List[str]:
+        outs = []
+        for scene in sorted(os.listdir(input_images_path)):
+            scene_dir = os.path.join(input_images_path, scene)
+            if not os.path.isdir(scene_dir):
+                continue
+            names = sorted(os.listdir(scene_dir))
+            im_paths = [os.path.join(scene_dir, n) for n in names]
+            im_names = [os.path.splitext(n)[0] for n in names]
+            outs += self.run_video_scene(im_paths, im_names,
+                                         output_images_path, f_factor_path)
+        return outs

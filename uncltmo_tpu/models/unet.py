@@ -191,7 +191,7 @@ def make_generator(opt=None, **overrides) -> UNetTMO:
 # Video application: frame 0 eagerly (builds the carry), then lax.scan.
 # ----------------------------------------------------------------------
 def video_apply(model: UNetTMO, variables, x_btHWC: jnp.ndarray,
-                deterministic: bool = True):
+                deterministic: bool = True, rngs=None):
     """(B, T, H, W, C) -> ((B, T, H, W, 1) outputs, (B, T, 2F) features).
 
     Replaces the reference's Python frame loop (`Unet.py:218-286`) with an
@@ -200,7 +200,7 @@ def video_apply(model: UNetTMO, variables, x_btHWC: jnp.ndarray,
     def frame_fn(xt, carry):
         out, up_x, new_carry = model.apply(
             variables, xt, carry, deterministic=deterministic,
-            method=UNetTMO.frame)
+            rngs=rngs, method=UNetTMO.frame)
         feat = model.apply(variables, up_x, method=UNetTMO.feature_head)
         return out, feat, new_carry
 

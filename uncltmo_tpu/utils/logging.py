@@ -1,0 +1,71 @@
+"""Observability: structured metric logging + loss curves.
+
+Replaces the reference's stdout printers (`utils/printer.py`) and per-epoch
+matplotlib dumps (`utils/plot_util.py:10-60`) with a JSONL metrics stream +
+optional matplotlib curves.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections import defaultdict
+from typing import Dict, Optional
+
+
+class MetricsLogger:
+    def __init__(self, output_dir: str, name: str = "train_metrics"):
+        os.makedirs(output_dir, exist_ok=True)
+        self.path = os.path.join(output_dir, f"{name}.jsonl")
+        self.history = defaultdict(list)
+        self._f = open(self.path, "a")
+
+    def log(self, step: int, metrics: Dict[str, float], **extra) -> None:
+        rec = {"step": int(step), "time": time.time(), **extra}
+        for k, v in metrics.items():
+            v = float(v)
+            rec[k] = v
+            self.history[k].append((step, v))
+        self._f.write(json.dumps(rec) + "\n")
+        self._f.flush()
+
+    def plot(self, loss_dir: str, title: str) -> Optional[str]:
+        """Loss curves (reference `plot_util.plot_general_losses`)."""
+        try:
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+        except Exception:
+            return None
+        os.makedirs(loss_dir, exist_ok=True)
+        fig, ax = plt.subplots(figsize=(10, 5))
+        for k, hist in self.history.items():
+            if not hist:
+                continue
+            steps, vals = zip(*hist)
+            ax.plot(steps, vals, label=k)
+        ax.set_xlabel("iterations")
+        ax.set_ylabel("loss")
+        ax.set_title(title)
+        ax.legend()
+        out = os.path.join(loss_dir, title.replace(" ", "_") + ".png")
+        fig.savefig(out)
+        plt.close(fig)
+        return out
+
+    def close(self):
+        self._f.close()
+
+
+def print_epoch_losses_summary(epoch: int, num_epochs: int,
+                               logs: Dict[str, float]) -> None:
+    """Console one-liner (reference `printer.print_epoch_losses_summary`)."""
+    parts = " ".join(f"{k}: {float(v):.4f}" for k, v in logs.items())
+    print(f"[{epoch}/{num_epochs}]\t{parts}", flush=True)
+
+
+def print_tensor_stats(x, title: str) -> None:
+    import numpy as np
+    x = np.asarray(x)
+    print(f"{title}  shape {x.shape}  max {x.max():.4f}  min {x.min():.4f}  "
+          f"mean {x.mean():.4f}  dtype {x.dtype}", flush=True)
