@@ -1,0 +1,24 @@
+#!/usr/bin/env python
+"""Video-TMO training entry point (reference `main_train.py`)."""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from uncltmo_tpu import config
+from uncltmo_tpu.training.trainer import GanTrainer
+
+
+def main(argv=None):
+    opt = config.get_opt(argv)
+    trainer = GanTrainer(opt, video=True)
+    if os.path.isdir(opt.test_dataroot_original_hdr):
+        from uncltmo_tpu.training.tester import Tester
+        trainer.tester = Tester(opt, trainer.gen, video=True,
+                                test_video_path=os.environ.get(
+                                    "UNCLTMO_TEST_HDRVIDEO", ""))
+    trainer.train()
+
+
+if __name__ == "__main__":
+    main()

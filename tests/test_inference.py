@@ -1,0 +1,107 @@
+"""End-to-end inference tests: belgium.hdr through the CLI path, and the
+lambda estimator vs the reference objective."""
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+BELGIUM = "/root/reference/activate_trained_model/input_images/belgium.hdr"
+MEAN_HIST = ("/root/reference/activate_trained_model/lambda_data/"
+             "ldr_avg_hist_900_images_20_bins.npy")
+REF_SETTINGS = ("/root/reference/activate_trained_model/"
+                "model_weights_imageTMO/run_settings.npy")
+
+
+def test_ce_for_lambdas_matches_numpy(rng):
+    from uncltmo_tpu.ops.lambda_est import _ce_for_lambdas, cross_entropy_np
+    gray = rng.random(5000).astype(np.float32) ** 3
+    gray = gray / gray.max()
+    targets = rng.random(20).astype(np.float32)
+    targets /= targets.sum()
+    lambdas = np.array([3.0, 100.0, 5e4, 1e7], np.float32)
+    mine = np.asarray(_ce_for_lambdas(
+        jnp.sort(jnp.asarray(gray)), jnp.asarray(lambdas),
+        jnp.asarray(targets), 20))
+    ref = [cross_entropy_np(l, gray, targets, 20) for l in lambdas]
+    np.testing.assert_allclose(mine, ref, rtol=5e-3, atol=5e-3)
+
+
+@pytest.mark.skipif(not os.path.exists(MEAN_HIST), reason="no mean hist")
+def test_fit_lambda_is_local_minimum(rng):
+    from uncltmo_tpu.ops.lambda_est import cross_entropy_np, fit_lambda
+    mean = np.load(MEAN_HIST, allow_pickle=True)[()]
+    targets = np.asarray(mean["mean_vals"], np.float32)
+    gray = (rng.random((128, 128)).astype(np.float32) ** 4)
+    gray /= gray.max()
+    lam = fit_lambda(gray, targets, grid=128)
+    ce = cross_entropy_np(lam, gray, targets, 20)
+    assert ce <= cross_entropy_np(lam * 3, gray, targets, 20) + 1e-3
+    assert ce <= cross_entropy_np(lam / 3, gray, targets, 20) + 1e-3
+
+
+@pytest.mark.skipif(not os.path.exists(BELGIUM), reason="no sample hdr")
+def test_image_cli_end_to_end(tmp_path, rng):
+    """belgium.hdr -> tone-mapped PNG via the full CLI path with random
+    generator weights (exercises settings re-hydration, lambda estimation,
+    tiling engine, postprocess, PNG save)."""
+    import jax
+    from uncltmo_tpu.models.unet import UNetTMO
+    from uncltmo_tpu.utils.checkpoint import save_params
+    from cli.test_imageTMO import get_args, run_trained_model
+
+    # model dir: random weights + the published run settings
+    model_dir = tmp_path / "model"
+    model_dir.mkdir()
+    model = UNetTMO()
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                    jnp.zeros((1, 256, 256, 1)))
+    save_params(str(model_dir / "trained_weights.msgpack"),
+                {"params_G": variables["params"]})
+    import shutil
+    shutil.copy(REF_SETTINGS, model_dir / "run_settings.npy")
+
+    in_dir = tmp_path / "inputs"
+    in_dir.mkdir()
+    shutil.copy(BELGIUM, in_dir / "belgium.hdr")
+    out_dir = tmp_path / "out"
+    lam_dir = tmp_path / "lambda"
+    lam_dir.mkdir()
+
+    args = get_args([
+        "--model_path", str(model_dir),
+        "--input_images_path", str(in_dir),
+        "--output_path", str(out_dir),
+        "--f_factor_path", str(lam_dir / "missing.npy"),
+        "--mean_hist_path", MEAN_HIST,
+        "--lambda_output_path", str(lam_dir),
+        "--calc_lambda", "1",
+        "--scale", "4",
+    ])
+    run_trained_model(args)
+
+    outs = list(out_dir.glob("*.png"))
+    assert len(outs) == 1
+    from uncltmo_tpu.utils.io import read_ldr_image
+    im = read_ldr_image(str(outs[0]))
+    # belgium: 769x1025 -> /4 -> 192x256 (output crops back to input size)
+    assert im.shape == (192, 256, 3)
+    assert im.std() > 0.001  # non-degenerate output
+
+
+def test_video_engine_small():
+    """Video tiler on a 2-frame 272x272 clip with the real model."""
+    import jax
+    from uncltmo_tpu.inference.engine import TileEngine
+    from uncltmo_tpu.models.unet import UNetTMO
+
+    model = UNetTMO()
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                    jnp.zeros((1, 256, 256, 1)))
+    eng = TileEngine(model, variables, chunk=4)
+    clip = jnp.asarray(
+        np.random.default_rng(0).random((2, 272, 272, 1)).astype(np.float32))
+    out = eng.run_video(clip)
+    assert out.shape == (2, 272, 272, 1)
+    assert np.isfinite(np.asarray(out)).all()

@@ -33,6 +33,7 @@ def preprocess_device(rgb_hw3: jnp.ndarray, f_factor,
     return rgb, gray
 
 
+@functools.partial(jax.jit, static_argnames=("diffY", "diffX"))
 def postprocess_device(rgb_padded: jnp.ndarray, fake: jnp.ndarray,
                        diffY: int, diffX: int) -> jnp.ndarray:
     """Percentile clamp/stretch + ratio-image color + frame crop + display
@@ -71,11 +72,7 @@ class InferenceRunner:
         return float(data[key]) * 255.0 * self.factor_coeff
 
     def _postprocess(self, rgb_padded, fake, dy, dx):
-        key = (rgb_padded.shape, dy, dx)
-        if key not in self._post:
-            self._post[key] = jax.jit(
-                lambda r, f: postprocess_device(r, f, dy, dx))
-        return self._post[key](rgb_padded, fake)
+        return postprocess_device(rgb_padded, fake, dy, dx)
 
     def load_image(self, im_path: str, f_factor_path: str,
                    scale: int = 4):

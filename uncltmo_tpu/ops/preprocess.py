@@ -54,14 +54,18 @@ def padded_size(n: int) -> int:
     return int(16 * int(n / 16.0)) + 16
 
 
-def pad_to_unet_grid(im: jnp.ndarray) -> tuple[jnp.ndarray, int, int]:
-    """Replicate-pad (H, W, C) image so H, W = 16k + 16.
+def pad_to_unet_grid(im: jnp.ndarray, min_size: int = 256
+                     ) -> tuple[jnp.ndarray, int, int]:
+    """Replicate-pad (H, W, C) image so H, W = 16k + 16 (and >= min_size,
+    the tile size — the reference tiler cannot handle sub-tile images).
 
     Returns (padded, diffY, diffX); the pad is split centre-symmetrically as
     (d//2, d - d//2) (`utils/data_loader_util.py:175-179`).
     """
     h, w = im.shape[0], im.shape[1]
-    dy, dx = abs(h - padded_size(h)), abs(w - padded_size(w))
+    th = max(padded_size(h), min_size)
+    tw = max(padded_size(w), min_size)
+    dy, dx = abs(h - th), abs(w - tw)
     im = jnp.pad(im, ((dy // 2, dy - dy // 2), (dx // 2, dx - dx // 2), (0, 0)),
                  mode="edge")
     return im, dy, dx

@@ -1,0 +1,157 @@
+"""In-training evaluation ("Tester").
+
+Re-design of `Tester.py` (video) / `TesterImg.py` (image): every 1/4 epoch
+the current generator is run over held-out HDR content; TMQI (and, for
+video, warp error) are computed and baked into the result directory name
+(`Tester.py:282`) so metric trajectories are visible at a glance.
+
+All forward passes go through the batched TileEngine; TMQI runs on device
+(uncltmo_tpu.metrics.tmqi).  Optical flow stays on host cv2 (offline
+metric).  Dataset directories are optional — anything missing is skipped,
+so the trainer works on machines without the eval sets.
+"""
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from uncltmo_tpu.config import Options
+from uncltmo_tpu.inference.engine import TileEngine
+from uncltmo_tpu.inference.runner import postprocess_device, preprocess_device
+from uncltmo_tpu.metrics.tmqi import tmqi
+from uncltmo_tpu.metrics.warp_error import compute_warp_error
+from uncltmo_tpu.ops import preprocess
+from uncltmo_tpu.utils.io import (HDR_EXTENSIONS, load_lambda_dict,
+                                  read_hdr_image, save_uint8_png)
+
+
+class Tester:
+    def __init__(self, opt: Options, model, video: bool = False,
+                 test_video_path: Optional[str] = None,
+                 dtype=jnp.float32):
+        self.opt = opt
+        self.video = video
+        self.test_video_path = test_video_path
+        self.engine = TileEngine(model, {"params": None}, dtype=dtype)
+        self.lambda_table: Dict[str, float] = {}
+        if opt.f_factor_path and os.path.exists(opt.f_factor_path):
+            self.lambda_table = load_lambda_dict(opt.f_factor_path)
+        self.original_hdr = self._preload(opt.test_dataroot_original_hdr)
+
+    # ------------------------------------------------------------------
+    def _lambda_for(self, name: str) -> float:
+        lam = float(self.lambda_table.get(name, 4000.0))
+        return lam * 255.0 * self.opt.factor_coeff
+
+    def _preload(self, root: Optional[str]) -> List[Dict]:
+        """Preload + preprocess the fixed eval images
+        (`Tester.py:40-61`)."""
+        items = []
+        if not root or not os.path.isdir(root):
+            return items
+        for img_name in sorted(os.listdir(root)):
+            stem, ext = os.path.splitext(img_name)
+            if ext not in HDR_EXTENSIONS:
+                continue
+            rgb_np = read_hdr_image(os.path.join(root, img_name))
+            rgb, gray = preprocess_device(
+                jnp.asarray(rgb_np), self._lambda_for(stem),
+                self.opt.data_trc)
+            rgb_p, dy, dx = preprocess.pad_to_unet_grid(rgb)
+            gray_p, dy, dx = preprocess.pad_to_unet_grid(gray)
+            items.append({"im_name": stem, "rgb": rgb_p, "gray": gray_p,
+                          "rgb_original": rgb_np, "diffY": dy, "diffX": dx})
+        return items
+
+    # ------------------------------------------------------------------
+    def save_images_for_model(self, model, params_G, out_dir: str,
+                              epoch: int, epoch_iter: int) -> Dict[str, float]:
+        """1/4-epoch eval hook (`Tester.py:253-312`)."""
+        self.engine.variables = {"params": params_G}
+        metrics: Dict[str, float] = {}
+        if self.video and self.test_video_path and \
+                os.path.isdir(self.test_video_path):
+            tm, w1, w2 = self.eval_on_video_root(self.test_video_path)
+            metrics.update(tmqi=tm, warp_e1=w1, warp_e2=w2)
+            tag = f"m1st{tm}_m2nd{w1}_m3rd{w2}"
+        elif self.original_hdr:
+            tm = self.eval_on_images()
+            metrics.update(tmqi=tm)
+            tag = f"tmqi{tm}"
+        else:
+            tag = "noeval"
+        result_dir = os.path.join(
+            out_dir, "model_results",
+            f"epoch{epoch}_iter{epoch_iter}_{tag}", "color_stretch")
+        for item in self.original_hdr:
+            out01 = self._render(item)
+            save_uint8_png(np.asarray(out01), result_dir,
+                           item["im_name"] + "_color_stretch")
+        return metrics
+
+    def _render(self, item) -> jnp.ndarray:
+        if self.video:
+            # replicate the single frame 4x through the recurrent model and
+            # keep the last frame (`Tester.py:291-300`)
+            frames = jnp.stack([item["gray"]] * 4)
+            fake = self.engine.run_video(frames)[-1]
+        else:
+            fake = self.engine.run_image(item["gray"])
+        return postprocess_device(item["rgb"], fake,
+                                  item["diffY"], item["diffX"])
+
+    # ------------------------------------------------------------------
+    def eval_on_images(self) -> float:
+        """Mean TMQI over the preloaded eval set
+        (`TesterImg.py:310-373`)."""
+        scores = []
+        for item in self.original_hdr:
+            out01 = np.asarray(self._render(item))
+            h, w = item["rgb_original"].shape[:2]
+            out_crop = out01[:h, :w]
+            q, _, _, _, _ = tmqi(item["rgb_original"][:out_crop.shape[0],
+                                                      :out_crop.shape[1]],
+                                 out_crop * 255.0)
+            scores.append(q)
+        return float(np.mean(scores)) if scores else 0.0
+
+    def eval_on_video_root(self, root: str, frames_per_scene: int = 6):
+        """Per-scene TMQI + warp error (`Tester.py:314-392`)."""
+        tmqi_total, e1_total, e2_total, n = 0.0, 0.0, 0.0, 0
+        for scene in sorted(os.listdir(root)):
+            scene_dir = os.path.join(root, scene)
+            if not os.path.isdir(scene_dir):
+                continue
+            names = sorted(os.listdir(scene_dir))[:frames_per_scene]
+            grays, rgbs, origs = [], [], []
+            dy = dx = 0
+            for nm in names:
+                rgb_np = read_hdr_image(os.path.join(scene_dir, nm))
+                rgb, gray = preprocess_device(
+                    jnp.asarray(rgb_np), self._lambda_for(scene),
+                    self.opt.data_trc)
+                rgb_p, dy, dx = preprocess.pad_to_unet_grid(rgb)
+                gray_p, dy, dx = preprocess.pad_to_unet_grid(gray)
+                grays.append(gray_p)
+                rgbs.append(rgb_p)
+                origs.append(rgb_np)
+            fakes = self.engine.run_video(jnp.stack(grays))
+            scene_q, rendered = 0.0, []
+            for i in range(len(names)):
+                out01 = np.asarray(postprocess_device(
+                    rgbs[i], fakes[i], dy, dx))
+                rendered.append(out01)
+                q, _, _, _, _ = tmqi(origs[i], out01 * 255.0)
+                scene_q += q
+            tmqi_total += scene_q / len(names)
+            if len(rendered) >= 2:
+                e1, e2 = compute_warp_error(rendered[0], rendered[1])
+                e1_total += e1
+                e2_total += e2
+            n += 1
+        if n == 0:
+            return 0.0, 0.0, 0.0
+        return tmqi_total / n, e1_total / n, e2_total / n
