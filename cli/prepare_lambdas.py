@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Offline data-prep: brightness-factor (lambda) dicts + mean LDR histogram.
+
+Covers the reference's offline lambda-estimation tooling
+(`data/lum_est_test_cor.py:344-451`, `data/run_hist_fit.sh`,
+`data/sbatch_hist_fit.sh`) and the construction of the 20-bin mean LDR
+histogram (`ldr_avg_hist_900_images_20_bins.npy` format:
+{'mean_vals', 'all_bins'}).
+
+Modes:
+  lambdas    one lambda per HDR file (npy/hdr/exr) in --input_dir, cached
+             into a {name: lambda} dict npy
+  scene_lambdas  one lambda per scene sub-directory (video datasets,
+             keyed by directory name like `load_inference_testvideo`,
+             `model_save_util.py:248`)
+  mean_hist  average the [0,1] 20-bin histograms of LDR images
+"""
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from uncltmo_tpu.ops.lambda_est import fit_lambda
+from uncltmo_tpu.utils.io import HDR_EXTENSIONS, read_hdr_image, read_ldr_image
+
+
+def _gray_of(path: str) -> np.ndarray:
+    rgb = read_hdr_image(path)
+    gray = rgb[..., :3] @ np.asarray([0.299, 0.587, 0.114], np.float32)
+    if gray.min() < 0:
+        gray = gray - gray.min()
+    return gray / max(gray.max(), 1e-12)
+
+
+def mode_lambdas(args, scene_mode=False):
+    mean = np.load(args.mean_hist_path, allow_pickle=True)[()]
+    targets = np.asarray(mean["mean_vals"], np.float32)
+    res = {}
+    if os.path.isfile(args.output):
+        res = np.load(args.output, allow_pickle=True)[()]
+    if scene_mode:
+        entries = [(d, sorted(os.listdir(os.path.join(args.input_dir, d)))[0])
+                   for d in sorted(os.listdir(args.input_dir))
+                   if os.path.isdir(os.path.join(args.input_dir, d))]
+        paths = [(key, os.path.join(args.input_dir, key, first))
+                 for key, first in entries]
+    else:
+        paths = [(os.path.splitext(f)[0], os.path.join(args.input_dir, f))
+                 for f in sorted(os.listdir(args.input_dir))
+                 if os.path.splitext(f)[1] in HDR_EXTENSIONS]
+    for key, path in paths:
+        if key in res:
+            continue
+        lam = fit_lambda(_gray_of(path), targets, bins=args.bins)
+        res[key] = lam
+        print(f"[{key}] [{lam:.4f}]")
+        np.save(args.output, res)
+    print(f"saved {len(res)} lambdas to {args.output}")
+
+
+def mode_mean_hist(args):
+    hists = []
+    edges = None
+    for f in sorted(os.listdir(args.input_dir)):
+        if not f.lower().endswith((".png", ".jpg", ".jpeg")):
+            continue
+        im = read_ldr_image(os.path.join(args.input_dir, f))
+        gray = im[..., :3] @ np.asarray([0.299, 0.587, 0.114], np.float32) \
+            if im.ndim == 3 else im
+        h, edges = np.histogram(gray.reshape(-1), bins=args.bins,
+                                density=True, range=(0, 1))
+        hists.append(h)
+        if len(hists) >= args.max_images:
+            break
+    mean_vals = np.mean(hists, axis=0)
+    np.save(args.output, {"mean_vals": mean_vals, "all_bins": edges})
+    print(f"saved mean histogram of {len(hists)} images to {args.output}")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--mode", choices=["lambdas", "scene_lambdas",
+                                      "mean_hist"], required=True)
+    p.add_argument("--input_dir", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--mean_hist_path", default="")
+    p.add_argument("--bins", type=int, default=20)
+    p.add_argument("--max_images", type=int, default=900)
+    args = p.parse_args(argv)
+    if args.mode == "mean_hist":
+        mode_mean_hist(args)
+    else:
+        mode_lambdas(args, scene_mode=(args.mode == "scene_lambdas"))
+
+
+if __name__ == "__main__":
+    main()

@@ -104,6 +104,8 @@ class Options:
     compute_dtype: str = "float32"     # "bfloat16" for fastest training
     data_parallel: int = 1             # devices for batch sharding (0=auto)
     log_every: int = 50
+    debug_nans: int = 0                # jax debug_nans/infs sanitizer (the
+                                       # reference's detect_anomaly analog)
     # -- filled by get_opt()
     manual_seed: int = 999
     output_dir: str = "."
