@@ -1,17 +1,24 @@
 #!/usr/bin/env python
 """Headline benchmark: 1080p HDR image tone-mapping throughput per chip.
 
-Workload = the reference's quarter-res image-TMO protocol scaled to a 1080p
-frame: replicate-pad to the U-Net grid (1088x1936), 256x256 tiles with
-64-px overlap (60 tiles), full generator forward per tile, partition-of-
-unity blend, percentile clamp/stretch — everything after the host file read
-(`utils/model_save_util.py:293-486` equivalent), on device.
+Workload = the reference's image-TMO protocol on a 1080p frame: replicate-
+pad to the U-Net grid (1088x1936), 256x256 tiles with 64-px overlap (60
+tiles), full generator forward per tile, partition-of-unity blend,
+percentile clamp/stretch (`utils/model_save_util.py:293-486` equivalent),
+everything on device in one jitted program per frame.
+
+Measurement notes:
+  * Every frame is synced through a scalar fetch of its result (summing the
+    output) — `block_until_ready` alone does not guarantee remote execution
+    has finished on the axon tunnel runtime.
+  * Frames are processed FRAMES_PER_CALL at a time inside one jitted scan
+    (one dispatch), because the remote-tunnel round trip (~30 ms) costs more
+    than an entire frame's device compute; calls are double-buffered.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-vs_baseline is measured against the reference PyTorch model running the
-same tiling loop on host CPU (measured once and cached in
-.bench_baseline.json; the reference torch model is instantiated from
-/root/reference via the test shim when available).
+vs_baseline compares against the reference PyTorch model running the same
+tiling workload on this host's CPU (measured once, cached in
+.bench_baseline.json with the cpu count).
 """
 from __future__ import annotations
 
@@ -28,8 +35,9 @@ sys.path.insert(0, REPO)
 H, W = 1080, 1920
 PAD_H, PAD_W = 1088, 1936            # 16k+16 pad (`data_loader_util.py:145`)
 BASELINE_CACHE = os.path.join(REPO, ".bench_baseline.json")
-WARMUP = 3
-ITERS = 20
+WARMUP = 2
+FRAMES_PER_CALL = 10                 # amortize the remote dispatch RTT
+CALLS = 6
 
 
 def measure_tpu_fps() -> float:
@@ -42,37 +50,46 @@ def measure_tpu_fps() -> float:
     model = UNetTMO()
     variables = jax.jit(model.init)(jax.random.PRNGKey(0),
                                     jnp.zeros((1, 256, 256, 1)))
+    # one 60-tile chunk per frame: single dispatch, best MXU utilization
     engine = TileEngine(model, variables, tile=256, overlap=64,
-                        chunk=20, dtype=jnp.bfloat16)
+                        chunk=60, dtype=jnp.bfloat16)
 
     rng = np.random.default_rng(0)
-    frame = jnp.asarray(rng.random((PAD_H, PAD_W, 1), np.float32))
+    batches = [jnp.asarray(rng.random((FRAMES_PER_CALL, PAD_H, PAD_W, 1),
+                                      np.float32)) for _ in range(2)]
 
-    def run(x):
-        fake = engine.run_image(x)
-        return color.percentile_clamp_stretch(fake, 0.5, 99.5)
+    def post(frame_out):
+        out = color.percentile_clamp_stretch(frame_out, 0.5, 99.5)
+        return jnp.sum(out)  # scalar sync handle per frame
 
-    for _ in range(WARMUP):
-        jax.block_until_ready(run(frame))
+    def run(batch):
+        return jnp.sum(engine.run_images(batch, post_fn=post))
+
+    for i in range(WARMUP):
+        float(run(batches[i % 2]))
+
+    pending = []
     t0 = time.perf_counter()
-    for _ in range(ITERS):
-        jax.block_until_ready(run(frame))
+    for i in range(CALLS):
+        pending.append(run(batches[i % 2]))
+        if len(pending) >= 2:
+            float(pending.pop(0))
+    for s in pending:
+        float(s)
     dt = time.perf_counter() - t0
-    return ITERS / dt
+    return CALLS * FRAMES_PER_CALL / dt
 
 
 def measure_torch_cpu_baseline() -> float:
-    """Reference PyTorch generator, same tile grid, on host CPU.
-
-    Measures a subset of tiles and extrapolates (the tiles are
-    independent and identical cost)."""
+    """Reference PyTorch generator, same tile workload, host CPU (subset of
+    tiles, extrapolated — tiles are independent and identical cost)."""
     try:
         sys.path.insert(0, os.path.join(REPO, "tests"))
         import reference_shim
         if not reference_shim.install():
             return 0.0
         import torch
-        torch.set_num_threads(os.cpu_count() or 8)
+        torch.set_num_threads(os.cpu_count() or 1)
         net = reference_shim.build_reference_unet(video=False)
     except Exception:
         return 0.0
@@ -109,7 +126,7 @@ def main():
     baseline = get_baseline_fps()
     result = {
         "metric": "1080p HDR tone-mapped frames/sec/chip (image TMO, "
-                  "256/64 tiled, bf16)",
+                  "256/64 tiled, bf16, scalar-fetch synced)",
         "value": round(fps, 3),
         "unit": "frames/sec",
         "vs_baseline": round(fps / baseline, 2) if baseline > 0 else None,

@@ -177,11 +177,12 @@ class SyntheticDataSource:
     """Random-data source with the real pipeline's shapes and value ranges
     (for tests, benchmarks, smoke training)."""
 
-    def __init__(self, size: int = 256):
+    def __init__(self, size: int = 256, n_items: int = 64):
         self.size = size
+        self.n_items = n_items
 
     def __len__(self):
-        return 64
+        return self.n_items
 
     def sample(self, rng: np.random.Generator) -> Dict[str, np.ndarray]:
         s = self.size

@@ -69,7 +69,9 @@ class TileEngine:
         self._video_fns: Dict[Tuple[int, int, int], callable] = {}
 
     # ------------------------------------------------------------------
-    def _build_image_fn(self, h: int, w: int):
+    def _image_core(self, h: int, w: int):
+        """Unjitted single-frame pipeline closure: (variables, (H,W,1)) ->
+        (H,W,1)."""
         plan = tile_plan(h, w, self.tile, self.overlap)
         origins = plan.origins
         masks_np = plan.masks
@@ -93,19 +95,46 @@ class TileEngine:
                 out, _ = model.apply(variables, chunk_tiles.astype(dtype))
                 return out.astype(jnp.float32)
 
-            outs = jax.lax.map(fwd, tiles)
+            if n_pad == chunk:
+                outs = fwd(tiles[0])[None]
+            else:
+                outs = jax.lax.map(fwd, tiles)
             outs = outs.reshape(n_pad, t, t)[:n]
             return _scatter_blend(outs * masks, origins, (h, w))[..., None]
 
-        return jax.jit(run)
+        return run
 
     def run_image(self, image_hw1: jnp.ndarray) -> jnp.ndarray:
         """(H, W, 1) padded log-luma -> (H, W, 1) tone-mapped luma."""
         h, w = int(image_hw1.shape[0]), int(image_hw1.shape[1])
         key = (h, w)
         if key not in self._image_fns:
-            self._image_fns[key] = self._build_image_fn(h, w)
+            self._image_fns[key] = jax.jit(self._image_core(h, w))
         return self._image_fns[key](self.variables, image_hw1)
+
+    def run_images(self, frames_fhw1: jnp.ndarray, post_fn=None):
+        """(F, H, W, 1) -> scanned per-frame results in ONE dispatch.
+
+        Amortizes per-dispatch latency (the remote-TPU round trip costs more
+        than a whole frame's compute).  `post_fn(frame_result)` is applied
+        inside the scan (e.g. percentile stretch, or a scalar reduction for
+        benchmarking).
+        """
+        f, h, w = (int(frames_fhw1.shape[0]), int(frames_fhw1.shape[1]),
+                   int(frames_fhw1.shape[2]))
+        key = (f, h, w, post_fn)
+        if key not in self._image_fns:
+            core = self._image_core(h, w)
+
+            def run(variables, frames):
+                def step(_, fr):
+                    out = core(variables, fr)
+                    return None, post_fn(out) if post_fn else out
+                _, outs = jax.lax.scan(step, None, frames)
+                return outs
+
+            self._image_fns[key] = jax.jit(run)
+        return self._image_fns[key](self.variables, frames_fhw1)
 
     # ------------------------------------------------------------------
     def _build_video_fn(self, tn: int, h: int, w: int):

@@ -8,6 +8,7 @@ Pure jittable functions (NHWC / HWC layouts).  Semantics match the reference:
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from uncltmo_tpu import params
@@ -48,10 +49,56 @@ def back_to_color(im_hdr: jnp.ndarray, fake_luma: jnp.ndarray) -> jnp.ndarray:
     return norm_im * fake_luma
 
 
+def percentiles_bisect(x: jnp.ndarray, qs, iters: int = 48) -> jnp.ndarray:
+    """Exact percentiles (np.percentile 'linear' semantics) WITHOUT sorting.
+
+    A full-image jnp.sort costs more than the whole tone-mapping forward on
+    TPU (~28 ms at 2 MPix); instead, the order statistics are found by
+    value-space bisection on count(x <= v) — `iters` fused compare+reduce
+    passes, each pure VPU streaming work.  Converges below float32 spacing
+    for any realistic dynamic range; validated bit-comparable to
+    np.percentile in tests.
+
+    x: any shape; qs: sequence of percentiles in [0, 100].
+    Returns (len(qs),) values.
+    """
+    flat = x.reshape(-1)
+    n = flat.shape[0]
+    qs = jnp.asarray(qs, jnp.float32)
+    pos = qs / 100.0 * (n - 1)
+    i0 = jnp.floor(pos).astype(jnp.int32)
+    frac = (pos - i0).astype(x.dtype)
+    # ranks needed: i0 and i0+1 for every percentile (for interpolation)
+    ranks = jnp.concatenate([i0, jnp.minimum(i0 + 1, n - 1)])     # (2Q,)
+
+    lo0 = flat.min()
+    hi0 = flat.max()
+    lo = jnp.full(ranks.shape, lo0, x.dtype)
+    hi = jnp.full(ranks.shape, hi0, x.dtype)
+
+    def body(_, carry):
+        lo, hi = carry
+        mid = (lo + hi) * 0.5
+        # counts: for each candidate, #elements <= mid  (one fused pass)
+        cnt = jnp.sum(flat[None, :] <= mid[:, None], axis=1)
+        take_hi = cnt >= ranks + 1
+        return (jnp.where(take_hi, lo, mid), jnp.where(take_hi, mid, hi))
+
+    lo, hi = jax.lax.fori_loop(0, iters, body, (lo, hi))
+    vals = hi                                                     # (2Q,)
+    q = qs.shape[0]
+    v0, v1 = vals[:q], vals[q:]
+    return v0 * (1.0 - frac) + v1 * frac
+
+
+def _two_percentiles(x: jnp.ndarray, lo: float, hi: float):
+    p = percentiles_bisect(x, (lo, hi))
+    return p[0], p[1]
+
+
 def to_01_outlier(im: jnp.ndarray) -> jnp.ndarray:
     """Percentile stretch to [0,1]: 99.0 / 0.1 percentiles, then clip."""
-    im_max = jnp.percentile(im, 99.0)
-    im_min = jnp.percentile(im, 0.1)
+    im_min, im_max = _two_percentiles(im, 0.1, 99.0)
     im = (im - im_min) / (im_max - im_min)
     return jnp.clip(im, 0.0, 1.0)
 
@@ -59,7 +106,6 @@ def to_01_outlier(im: jnp.ndarray) -> jnp.ndarray:
 def percentile_clamp_stretch(fake: jnp.ndarray, lo: float = 0.5,
                              hi: float = 99.5) -> jnp.ndarray:
     """Clamp to [P_lo, P_hi] percentiles then min-max stretch to [0, 1]."""
-    max_p = jnp.percentile(fake, hi)
-    min_p = jnp.percentile(fake, lo)
+    min_p, max_p = _two_percentiles(fake, lo, hi)
     fake2 = jnp.clip(fake, min_p, max_p)
     return (fake2 - fake2.min()) / (fake2.max() - fake2.min())
