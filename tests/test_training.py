@@ -104,3 +104,25 @@ def test_pipeline_batches(rng):
     assert b["hdr"].shape == (4, 2, 256, 256, 1)
     assert b["ldr_pos"].shape == (4, 2, 256, 256, 1)
     assert b["hdr"].max() <= 1.0 + 1e-6
+
+
+def test_tile_engine_sharded_matches_unsharded():
+    """Tile-axis sharding over the 8-device mesh gives identical output."""
+    import flax.linen as nn
+    from uncltmo_tpu.inference.engine import TileEngine
+    from uncltmo_tpu.parallel import mesh as pmesh
+
+    class ToyModel(nn.Module):
+        @nn.compact
+        def __call__(self, x, **kw):
+            k = self.param("k", nn.initializers.ones, (1,))
+            return nn.tanh(x[..., :1] * k), x
+
+    model = ToyModel()
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 256, 256, 1)))
+    img = jnp.asarray(
+        np.random.default_rng(1).random((464, 720, 1)).astype(np.float32))
+    ref = TileEngine(model, variables, chunk=8).run_image(img)
+    mesh = pmesh.get_mesh()
+    out = TileEngine(model, variables, chunk=8, mesh=mesh).run_image(img)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)

@@ -58,15 +58,30 @@ class TileEngine:
     """
 
     def __init__(self, model: UNetTMO, variables, tile: int = 256,
-                 overlap: int = 64, chunk: int = 16, dtype=jnp.float32):
+                 overlap: int = 64, chunk: int = 16, dtype=jnp.float32,
+                 mesh=None):
         self.model = model
         self.variables = variables
         self.tile = tile
         self.overlap = overlap
         self.chunk = chunk
         self.dtype = dtype
+        # optional jax.sharding.Mesh with a 'data' axis: the tile batch is
+        # sharded across devices (tiles are independent until the blend,
+        # which XLA resolves with an all-gather over ICI)
+        self.mesh = mesh
         self._image_fns: Dict[Tuple[int, int], callable] = {}
         self._video_fns: Dict[Tuple[int, int, int], callable] = {}
+
+    def _shard_tiles(self, tiles: jnp.ndarray) -> jnp.ndarray:
+        """Shard the per-chunk tile batch (axis 1 of (chunks, chunk, ...))
+        across the mesh's data axis."""
+        if self.mesh is None:
+            return tiles
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        spec = P(None, "data")
+        return jax.lax.with_sharding_constraint(
+            tiles, NamedSharding(self.mesh, spec))
 
     # ------------------------------------------------------------------
     def _image_core(self, h: int, w: int):
@@ -77,7 +92,8 @@ class TileEngine:
         masks_np = plan.masks
         n = origins.shape[0]
         t = self.tile
-        chunk = min(self.chunk, _round_up(n, 4))
+        gran = len(self.mesh.devices.flat) if self.mesh is not None else 4
+        chunk = min(_round_up(self.chunk, gran), _round_up(n, gran))
         n_pad = _round_up(n, chunk)
         model, dtype = self.model, self.dtype
 
@@ -90,6 +106,7 @@ class TileEngine:
                 for oy, ox in origins])                      # (N, t, t, C)
             tiles = jnp.pad(tiles, ((0, n_pad - n), (0, 0), (0, 0), (0, 0)))
             tiles = tiles.reshape(n_pad // chunk, chunk, t, t, -1)
+            tiles = self._shard_tiles(tiles)
 
             def fwd(chunk_tiles):
                 out, _ = model.apply(variables, chunk_tiles.astype(dtype))
@@ -143,7 +160,8 @@ class TileEngine:
         masks_np = plan.masks
         n = origins.shape[0]
         t = self.tile
-        chunk = min(self.chunk, _round_up(n, 4))
+        gran = len(self.mesh.devices.flat) if self.mesh is not None else 4
+        chunk = min(_round_up(self.chunk, gran), _round_up(n, gran))
         n_pad = _round_up(n, chunk)
         model, dtype = self.model, self.dtype
 
@@ -157,6 +175,7 @@ class TileEngine:
             tiles = jnp.pad(
                 tiles, ((0, n_pad - n), (0, 0), (0, 0), (0, 0), (0, 0)))
             tiles = tiles.reshape(n_pad // chunk, chunk, tn, t, t, -1)
+            tiles = self._shard_tiles(tiles)
 
             def fwd(chunk_tiles):
                 outs, _ = video_apply(model, variables,
