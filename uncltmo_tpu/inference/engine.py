@@ -129,26 +129,64 @@ class TileEngine:
             self._image_fns[key] = jax.jit(self._image_core(h, w))
         return self._image_fns[key](self.variables, image_hw1)
 
-    def run_images(self, frames_fhw1: jnp.ndarray, post_fn=None):
-        """(F, H, W, 1) -> scanned per-frame results in ONE dispatch.
+    def _images_core(self, h: int, w: int, group: int):
+        """Multi-frame pipeline: (variables, (group,H,W,1)) -> (group,H,W,1).
+
+        Tiles from `group` frames run as ONE conv batch: the 60-tile single
+        frame only reaches ~18% MXU utilization; 120+ tiles nearly doubles
+        it (the convs are small-channel and need deep batches to fill the
+        pipeline)."""
+        plan = tile_plan(h, w, self.tile, self.overlap)
+        origins = plan.origins
+        masks_np = plan.masks
+        n = origins.shape[0]
+        t = self.tile
+        model, dtype = self.model, self.dtype
+
+        def run(variables, frames_ghw1):
+            masks = jnp.asarray(masks_np)
+            tiles = jnp.stack([
+                jax.lax.dynamic_slice(frames_ghw1, (0, int(oy), int(ox), 0),
+                                      (group, t, t, frames_ghw1.shape[-1]))
+                for oy, ox in origins])                  # (N, g, t, t, C)
+            tiles = jnp.swapaxes(tiles, 0, 1).reshape(group * n, t, t, -1)
+            tiles = self._shard_tiles(tiles[None])[0]
+            out, _ = model.apply(variables, tiles.astype(dtype))
+            outs = out.astype(jnp.float32).reshape(group, n, t, t)
+            blended = jax.vmap(
+                lambda o: _scatter_blend(o * masks, origins, (h, w)))(outs)
+            return blended[..., None]
+
+        return run
+
+    def run_images(self, frames_fhw1: jnp.ndarray, post_fn=None,
+                   frames_per_step: int = 2):
+        """(F, H, W, 1) -> per-frame results in ONE dispatch.
 
         Amortizes per-dispatch latency (the remote-TPU round trip costs more
-        than a whole frame's compute).  `post_fn(frame_result)` is applied
-        inside the scan (e.g. percentile stretch, or a scalar reduction for
-        benchmarking).
+        than a whole frame's compute) by scanning over groups of
+        `frames_per_step` frames whose tiles share one conv batch.
+        `post_fn(frame_result)` is applied inside the scan (e.g. percentile
+        stretch, or a scalar reduction for benchmarking).  F must be a
+        multiple of frames_per_step.
         """
         f, h, w = (int(frames_fhw1.shape[0]), int(frames_fhw1.shape[1]),
                    int(frames_fhw1.shape[2]))
-        key = (f, h, w, post_fn)
+        g = frames_per_step
+        assert f % g == 0, (f, g)
+        key = (f, h, w, post_fn, g)
         if key not in self._image_fns:
-            core = self._image_core(h, w)
+            core = self._images_core(h, w, g)
 
             def run(variables, frames):
-                def step(_, fr):
-                    out = core(variables, fr)
-                    return None, post_fn(out) if post_fn else out
-                _, outs = jax.lax.scan(step, None, frames)
-                return outs
+                def step(_, fr_group):
+                    outs = core(variables, fr_group)
+                    if post_fn:
+                        outs = jax.vmap(post_fn)(outs)
+                    return None, outs
+                grouped = frames.reshape((f // g, g) + frames.shape[1:])
+                _, outs = jax.lax.scan(step, None, grouped)
+                return outs.reshape((f,) + outs.shape[2:])
 
             self._image_fns[key] = jax.jit(run)
         return self._image_fns[key](self.variables, frames_fhw1)

@@ -64,7 +64,6 @@ class InferenceRunner:
         self.video = video
         self.factor_coeff = float(model_params.get("factor_coeff", 0.1))
         self.data_trc = str(model_params.get("data_trc", "min_log"))
-        self._post = {}
 
     # ------------------------------------------------------------------
     def _lambda_for(self, f_factor_path: str, key: str) -> float:

@@ -87,6 +87,9 @@ class GanTrainer:
 
         self.logger = MetricsLogger(opt.output_dir)
         self.rng = jax.random.PRNGKey(opt.manual_seed + 1)
+        if opt.compute_dtype == "bfloat16":
+            # fast-matmul training: conv/matmul inputs truncated to bf16
+            jax.config.update("jax_default_matmul_precision", "bfloat16")
         if opt.debug_nans:
             from uncltmo_tpu.utils.profiling import enable_anomaly_detection
             enable_anomaly_detection(True)
