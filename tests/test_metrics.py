@@ -10,9 +10,10 @@ def test_warp_error_identical_frames(rng):
     assert e1 < 1e-4 and e2 < 1e-2
 
 
-def test_warp_error_shifted_frames(rng):
+def test_warp_error_shifted_frames():
     """A small translation should be mostly compensated by the flow."""
     from uncltmo_tpu.metrics.warp_error import compute_warp_error
+    rng = np.random.default_rng(7)  # local: independent of test order
     base = rng.random((160, 200))
     import cv2
     base = cv2.GaussianBlur(base.astype(np.float32), (0, 0), 1.5)

@@ -138,6 +138,13 @@ def make_train_step(gen: UNetTMO, disc: SimpleDiscriminator,
             params_D, opt_state_D = apply_updates(
                 state.params_D, grads_d, state.opt_state_D, d_lr)
             logs["errD"] = err_d
+            # accuracy counters (reference `Tester.update_test_loss`,
+            # `printer.print_epoch_acc_summary`: logit > 0.5 = "real")
+            d_real_now, _ = d_apply(params_D, ldr_pos)
+            d_fake_now, _ = d_apply(params_D, fake_for_d)
+            logs["accDreal"] = jnp.mean((d_real_now > 0.5).astype(jnp.float32))
+            logs["accDfake"] = jnp.mean((d_fake_now <= 0.5).astype(jnp.float32))
+            logs["accG"] = jnp.mean((d_fake_now > 0.5).astype(jnp.float32))
         else:
             params_D, opt_state_D = state.params_D, state.opt_state_D
 

@@ -153,6 +153,27 @@ class GanTrainer:
             epoch, epoch_iter, self.state)
         self.logger.plot(os.path.join(self.opt.output_dir, P.LOSS_PATH),
                          f"summary epoch_=_{epoch}")
+        self._save_sample_grid(epoch, epoch_iter)
+
+    def _save_sample_grid(self, epoch: int, epoch_iter: int):
+        """Sample grid of (hdr input, fake, ldr pos) like the reference's
+        `Tester.save_test_images` (`Tester.py:126-148`)."""
+        from uncltmo_tpu.utils.logging import save_image_grid
+        rng = np.random.default_rng(epoch)
+        items = [self.pipeline.source.sample(rng) for _ in range(2)]
+        batch = {k: np.stack([it[k] for it in items]) for k in items[0]}
+        hdr = jnp.asarray(batch["hdr"][:, 0])
+        fake, _ = jax.jit(self.gen.apply)(
+            {"params": self._generator_params()}, hdr)
+        images, titles = [], []
+        for i in range(hdr.shape[0]):
+            images += [np.asarray(hdr[i]), np.asarray(fake[i]),
+                       batch["ldr_pos"][i, 0]]
+            titles += ["hdr input", "fake", "ldr real"]
+        out_dir = os.path.join(self.opt.output_dir, P.RESULTS_PATH,
+                               f"images_epoch{epoch}_iter{epoch_iter}")
+        save_image_grid(images, os.path.join(out_dir, "grid.png"),
+                        cols=3, titles=titles)
 
     def _generator_params(self):
         return jax.device_get(self.state.params_G)

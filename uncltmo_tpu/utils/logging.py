@@ -69,3 +69,31 @@ def print_tensor_stats(x, title: str) -> None:
     x = np.asarray(x)
     print(f"{title}  shape {x.shape}  max {x.max():.4f}  min {x.min():.4f}  "
           f"mean {x.mean():.4f}  dtype {x.dtype}", flush=True)
+
+
+def save_image_grid(images, path: str, cols: int = 4,
+                    titles=None) -> Optional[str]:
+    """Sample grid dump (reference `plot_util.save_groups_images`,
+    `plot_util.py:63-128`): rows of LDR / HDR-input / fake images."""
+    import numpy as np
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except Exception:
+        return None
+    images = [np.clip(np.squeeze(np.asarray(im)), 0, 1) for im in images]
+    rows = -(-len(images) // cols)
+    fig, axes = plt.subplots(rows, cols, figsize=(3 * cols, 3 * rows))
+    axes = np.atleast_1d(axes).reshape(-1)
+    for ax in axes:
+        ax.axis("off")
+    for i, im in enumerate(images):
+        axes[i].imshow(im, cmap="gray" if im.ndim == 2 else None,
+                       vmin=0, vmax=1)
+        if titles and i < len(titles):
+            axes[i].set_title(titles[i], fontsize=8)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    fig.savefig(path, bbox_inches="tight")
+    plt.close(fig)
+    return path
