@@ -1,0 +1,128 @@
+#!/usr/bin/env python
+"""Offline quality metrics over result directories.
+
+Covers the reference's offline metric CLIs:
+  * batch TMQI over tone-mapped outputs vs their HDR sources
+    (`metrics/TMQI_python/demo.py:8-31`),
+  * temporal warp error between consecutive frames of a scene
+    (`metrics/compute_wrap_error.py:93-124`),
+  * FID between a real-LDR dir and a fake dir (`fid/fid_score.py:294-324`),
+  * blind BTMQI-surrogate scores (see `uncltmo_tpu/metrics/btmqi.py`).
+
+Examples:
+  python cli/compute_metrics.py tmqi --hdr_dir hdrs/ --ldr_dir outputs/
+  python cli/compute_metrics.py warp --frames_dir outputs/scene1/
+  python cli/compute_metrics.py fid  --real_dir div2k/ --fake_dir outputs/
+  python cli/compute_metrics.py btmqi --ldr_dir outputs/
+"""
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from uncltmo_tpu.utils.io import (HDR_EXTENSIONS, read_hdr_image,
+                                  read_ldr_image)
+
+
+def cmd_tmqi(args):
+    from uncltmo_tpu.metrics.tmqi import tmqi
+    scores = {}
+    ldr_files = {os.path.splitext(f)[0]: f for f in os.listdir(args.ldr_dir)
+                 if f.lower().endswith((".png", ".jpg"))}
+    for hdr_name in sorted(os.listdir(args.hdr_dir)):
+        stem, ext = os.path.splitext(hdr_name)
+        if ext not in HDR_EXTENSIONS:
+            continue
+        match = next((v for k, v in ldr_files.items()
+                      if k.startswith(stem)), None)
+        if match is None:
+            continue
+        hdr = read_hdr_image(os.path.join(args.hdr_dir, hdr_name))
+        ldr = read_ldr_image(os.path.join(args.ldr_dir, match)) * 255.0
+        if hdr.shape[:2] != ldr.shape[:2]:
+            import cv2
+            hdr = cv2.resize(hdr, (ldr.shape[1], ldr.shape[0]))
+        q, s, n, _, _ = tmqi(hdr, ldr.astype(np.float32))
+        scores[stem] = {"Q": q, "S": s, "N": n}
+        print(f"{stem}: Q={q:.4f} S={s:.4f} N={n:.6f}")
+    if scores:
+        mean_q = float(np.mean([v["Q"] for v in scores.values()]))
+        print(f"mean Q over {len(scores)} images: {mean_q:.4f}")
+        _save(args.output, {"per_image": scores, "mean_Q": mean_q})
+
+
+def cmd_warp(args):
+    from uncltmo_tpu.metrics.warp_error import compute_warp_error
+    frames = sorted(f for f in os.listdir(args.frames_dir)
+                    if f.lower().endswith((".png", ".jpg")))
+    e1s, e2s = [], []
+    for a, b in zip(frames[:-1], frames[1:]):
+        f0 = read_ldr_image(os.path.join(args.frames_dir, a))
+        f1 = read_ldr_image(os.path.join(args.frames_dir, b))
+        e1, e2 = compute_warp_error(f0, f1)
+        e1s.append(e1)
+        e2s.append(e2)
+        print(f"{a} -> {b}: E1={e1:.6f} E2={e2:.6f}")
+    if e1s:
+        print(f"mean E1={np.mean(e1s):.6f} mean E2={np.mean(e2s):.6f}")
+        _save(args.output, {"E1": float(np.mean(e1s)),
+                            "E2": float(np.mean(e2s))})
+
+
+def cmd_fid(args):
+    from uncltmo_tpu.metrics.fid import calculate_fid_given_paths
+    fid = calculate_fid_given_paths([args.real_dir, args.fake_dir],
+                                    batch_size=args.batch_size, dims=768)
+    print(f"FID: {fid:.4f}")
+    _save(args.output, {"fid": fid})
+
+
+def cmd_btmqi(args):
+    from uncltmo_tpu.metrics.btmqi import btmqi
+    scores = {}
+    for f in sorted(os.listdir(args.ldr_dir)):
+        if not f.lower().endswith((".png", ".jpg")):
+            continue
+        s, _ = btmqi(read_ldr_image(os.path.join(args.ldr_dir, f)))
+        scores[f] = s
+        print(f"{f}: {s:.4f}")
+    if scores:
+        print(f"mean surrogate BTMQI: {np.mean(list(scores.values())):.4f}")
+        _save(args.output, scores)
+
+
+def _save(path, obj):
+    if path:
+        with open(path, "w") as f:
+            json.dump(obj, f, indent=2)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    sub = p.add_subparsers(dest="cmd", required=True)
+    t = sub.add_parser("tmqi")
+    t.add_argument("--hdr_dir", required=True)
+    t.add_argument("--ldr_dir", required=True)
+    t.add_argument("--output", default="")
+    w = sub.add_parser("warp")
+    w.add_argument("--frames_dir", required=True)
+    w.add_argument("--output", default="")
+    f = sub.add_parser("fid")
+    f.add_argument("--real_dir", required=True)
+    f.add_argument("--fake_dir", required=True)
+    f.add_argument("--batch_size", type=int, default=20)
+    f.add_argument("--output", default="")
+    b = sub.add_parser("btmqi")
+    b.add_argument("--ldr_dir", required=True)
+    b.add_argument("--output", default="")
+    args = p.parse_args(argv)
+    {"tmqi": cmd_tmqi, "warp": cmd_warp, "fid": cmd_fid,
+     "btmqi": cmd_btmqi}[args.cmd](args)
+
+
+if __name__ == "__main__":
+    main()

@@ -217,7 +217,8 @@ class TileEngine:
 
             def fwd(chunk_tiles):
                 outs, _ = video_apply(model, variables,
-                                      chunk_tiles.astype(dtype))
+                                      chunk_tiles.astype(dtype),
+                                      with_features=False)
                 return outs.astype(jnp.float32)
 
             outs = jax.lax.map(fwd, tiles)

@@ -191,17 +191,23 @@ def make_generator(opt=None, **overrides) -> UNetTMO:
 # Video application: frame 0 eagerly (builds the carry), then lax.scan.
 # ----------------------------------------------------------------------
 def video_apply(model: UNetTMO, variables, x_btHWC: jnp.ndarray,
-                deterministic: bool = True, rngs=None):
+                deterministic: bool = True, rngs=None,
+                with_features: bool = True):
     """(B, T, H, W, C) -> ((B, T, H, W, 1) outputs, (B, T, 2F) features).
 
     Replaces the reference's Python frame loop (`Unet.py:218-286`) with an
-    XLA scan whose carry is the recurrent-slice pytree.
+    XLA scan whose carry is the recurrent-slice pytree.  `with_features`
+    toggles the contrastive feature head (training needs it; tiled
+    inference does not — it costs an 11x11 depthwise conv per frame).
     """
     def frame_fn(xt, carry):
         out, up_x, new_carry = model.apply(
             variables, xt, carry, deterministic=deterministic,
             rngs=rngs, method=UNetTMO.frame)
-        feat = model.apply(variables, up_x, method=UNetTMO.feature_head)
+        if with_features:
+            feat = model.apply(variables, up_x, method=UNetTMO.feature_head)
+        else:
+            feat = jnp.zeros((xt.shape[0], 0), xt.dtype)
         return out, feat, new_carry
 
     out0, feat0, carry = frame_fn(x_btHWC[:, 0], None)
