@@ -30,6 +30,12 @@ def struct_loss_single(fake: jnp.ndarray, hdr_input: jnp.ndarray,
     """One pyramid level (`struct_loss.py:57-87`), NHWC, returns scalar."""
     e2 = params.EPSILON2
     k = box_kernel_1d(window_size)
+    # float32 throughout: the fused expansion cancels large terms scaled by
+    # 1/sigma^2; under reduced precision the optimizer can drive the
+    # residual error negative without bound (observed on TPU with bf16
+    # matmul precision).
+    fake = fake.astype(jnp.float32)
+    hdr_input = hdr_input.astype(jnp.float32)
     mu_x = window_mean(fake, k)
     mu_y = window_mean(hdr_input, k)
     s_xx = window_mean(fake * fake, k)
@@ -41,7 +47,9 @@ def struct_loss_single(fake: jnp.ndarray, hdr_input: jnp.ndarray,
     b = 1.0 / (std_y + e2)
     c = a * mu_x - b * mu_y
     mse = a * a * s_xx + b * b * s_yy - 2.0 * a * b * s_xy - c * c
-    return jnp.mean(mse)
+    # exact value is a mean of squares (>= 0); clamp the tiny residual
+    # rounding below zero so it cannot be exploited by the optimizer
+    return jnp.mean(jnp.maximum(mse, 0.0))
 
 
 def struct_loss_pyramid(fake: jnp.ndarray, hdr_input: jnp.ndarray,

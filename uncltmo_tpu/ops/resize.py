@@ -36,7 +36,7 @@ def _conv1d_stride2(x: jnp.ndarray, k: jnp.ndarray, axis: int) -> jnp.ndarray:
     return lax.conv_general_dilated(
         x, kern, window_strides=strides, padding="VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=c)
+        feature_group_count=c, precision=lax.Precision.HIGHEST)
 
 
 def bicubic_half(x: jnp.ndarray) -> jnp.ndarray:
@@ -62,4 +62,4 @@ def haar_half(x: jnp.ndarray) -> jnp.ndarray:
     return lax.conv_general_dilated(
         x, kern, window_strides=(2, 2), padding="VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=c)
+        feature_group_count=c, precision=lax.Precision.HIGHEST)

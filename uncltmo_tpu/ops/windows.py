@@ -55,10 +55,15 @@ def _conv1d_valid(x: jnp.ndarray, k: jnp.ndarray, axis: int) -> jnp.ndarray:
     else:
         kern = k.reshape(1, ksz, 1, 1)
     kern = jnp.tile(kern.astype(x.dtype), (1, 1, 1, c))
+    # HIGHEST precision: window statistics feed variance/standardization
+    # formulas whose cancellations amplify bf16 truncation catastrophically
+    # (observed: the fused struct loss driven negative without bound by the
+    # optimizer under default TPU matmul precision). Tiny depthwise
+    # filters; the f32 path costs nothing measurable.
     return lax.conv_general_dilated(
         x, kern, window_strides=(1, 1), padding="VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=c)
+        feature_group_count=c, precision=lax.Precision.HIGHEST)
 
 
 def window_mean(x: jnp.ndarray, k1d) -> jnp.ndarray:
@@ -80,7 +85,7 @@ def _conv1d_full(x: jnp.ndarray, k: jnp.ndarray, axis: int) -> jnp.ndarray:
     return lax.conv_general_dilated(
         x, kern, window_strides=(1, 1), padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=c)
+        feature_group_count=c, precision=lax.Precision.HIGHEST)
 
 
 def window_mean_auto(x: jnp.ndarray, k1d) -> jnp.ndarray:
