@@ -6,15 +6,26 @@ intermediate to HBM between the two convolutions; for the 32-channel
 encoder/decoder cells that traffic dominates, since 32 output channels
 fill only a quarter of the MXU's 128 lanes and the op is bandwidth-bound.
 
-Design: grid = (B, H_out / block_h).  Each program manually DMAs an
-overlapping (block_h+4, W, Cin) input band HBM->VMEM (overlapping halos
-cannot be expressed with BlockSpec strides), computes conv1 as 9 shifted
+Design: grid = (B, ceil(H_out / 32)).  Each program manually DMAs an
+overlapping input row band HBM->VMEM (overlapping halos cannot be
+expressed with BlockSpec strides), computes conv1 as 9 shifted
 dot_generals on the MXU + bias + relu, conv2 likewise on the VMEM
-intermediate, and writes its (block_h, W-4, C2) output band.
+intermediate, and writes its (32, W-4, C2) output band.
 
-Status: correctness-complete (tested vs the XLA convs, interpret mode on
-CPU and compiled on TPU); opt-in — the stock XLA path remains the model
-default until per-shape autotuning picks winners (see PERF.md).
+Mosaic DMA alignment notes (hard-won):
+  * memref slices must be tile-aligned in the last two dims (8, 128), so a
+    32-channel NHWC array cannot be row-sliced directly — the input is
+    viewed as (B, H, W*C) so the lane dim is W*C (128-aligned for W
+    multiples of 4), and the band is un-flattened inside the kernel;
+  * row offsets/extents align to 8: bands are 32 output rows, DMAs are 40
+    input rows, and the caller pads H so every DMA is in bounds.
+
+Status: numerically exact vs the XLA convs (validated in interpret mode;
+tests/test_pallas.py).  Compiled enablement is blocked on this jax
+version's Mosaic lacking the (rows, W*C) -> (rows, W, C) vector shape
+cast needed after the flat DMA ("infer-vector-layout: unsupported shape
+cast"); the DMA itself now satisfies the (8, 128) tile-alignment rules.
+The stock XLA conv path remains the model default (see PERF.md).
 """
 from __future__ import annotations
 
@@ -26,12 +37,15 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+_BAND = 32        # output rows per program
+_DMA_ROWS = 40    # input rows per DMA (BAND + 4 halo, rounded up to 8)
+
 
 def _conv_band(x, k, out_rows, out_cols):
     """Valid 3x3 conv of a VMEM band via 9 shifted matmuls.
 
     x: (rows, W, Cin); k: (3, 3, Cin, Cout) -> (out_rows, out_cols, Cout)
-    in float32.
+    accumulated in float32.
     """
     acc = None
     for dy in range(3):
@@ -45,44 +59,49 @@ def _conv_band(x, k, out_rows, out_cols):
     return acc
 
 
-def _make_kernel(block_h: int):
+def _make_kernel(w: int, cin: int):
     def kernel(x_hbm, k1_ref, b1_ref, k2_ref, b2_ref, o_ref,
                x_vmem, sem):
         bi = pl.program_id(0)
         ri = pl.program_id(1)
-        row0 = ri * block_h
+        row0 = pl.multiple_of(ri * _BAND, 8)
         dma = pltpu.make_async_copy(
-            x_hbm.at[bi, pl.ds(row0, block_h + 4)], x_vmem, sem)
+            x_hbm.at[bi, pl.ds(row0, _DMA_ROWS)], x_vmem, sem)
         dma.start()
         dma.wait()
-        x = x_vmem[...]
-        mid_rows, mid_cols = x.shape[0] - 2, x.shape[1] - 2
-        mid = _conv_band(x, k1_ref[...], mid_rows, mid_cols)
+        x = x_vmem[...].reshape(_DMA_ROWS, w, cin)[:_BAND + 4]
+        mid = _conv_band(x, k1_ref[...], _BAND + 2, w - 2)
         mid = jnp.maximum(mid + b1_ref[...], 0.0).astype(x.dtype)
-        out = _conv_band(mid, k2_ref[...], mid_rows - 2, mid_cols - 2)
+        out = _conv_band(mid, k2_ref[...], _BAND, w - 4)
         out = jnp.maximum(out + b2_ref[...], 0.0)
-        o_ref[0] = out[None].astype(o_ref.dtype)[0]
+        o_ref[0] = out.astype(o_ref.dtype)
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("block_h", "interpret"))
-def fused_double_conv3x3(x, k1, b1, k2, b2, block_h: int = 28,
-                         interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_double_conv3x3(x, k1, b1, k2, b2, interpret: bool = False):
     """(B, H, W, Cin) -> (B, H-4, W-4, C2): (conv3x3 valid -> relu) twice.
 
-    H-4 must be divisible by block_h; weights are HWIO like the stock path.
+    W*Cin must be a multiple of 128 (true for all U-Net cells: W >= 24,
+    Cin in {32, 64, ...}).  Weights are HWIO like the stock path.
     """
     b, h, w, cin = x.shape
     c1 = k1.shape[-1]
     c2 = k2.shape[-1]
+    assert (w * cin) % 128 == 0, (w, cin)
     h_out, w_out = h - 4, w - 4
-    assert h_out % block_h == 0, (h_out, block_h)
-    grid = (b, h_out // block_h)
+    n_bands = -(-h_out // _BAND)
+    h_out_pad = n_bands * _BAND
+    # every DMA reads rows [ri*_BAND, ri*_BAND + _DMA_ROWS)
+    h_in_pad = (n_bands - 1) * _BAND + _DMA_ROWS
+    if h_in_pad > h:
+        x = jnp.pad(x, ((0, 0), (0, h_in_pad - h), (0, 0), (0, 0)))
+    x_flat = x.reshape(b, x.shape[1], w * cin)
 
-    return pl.pallas_call(
-        _make_kernel(block_h),
-        grid=grid,
+    out = pl.pallas_call(
+        _make_kernel(w, cin),
+        grid=(b, n_bands),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),      # x stays in HBM
             pl.BlockSpec((3, 3, cin, c1), lambda bi, ri: (0, 0, 0, 0),
@@ -94,16 +113,17 @@ def fused_double_conv3x3(x, k1, b1, k2, b2, block_h: int = 28,
             pl.BlockSpec((c2,), lambda bi, ri: (0,),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, block_h, w_out, c2),
+        out_specs=pl.BlockSpec((1, _BAND, w_out, c2),
                                lambda bi, ri: (bi, ri, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, h_out, w_out, c2), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, h_out_pad, w_out, c2), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((block_h + 4, w, cin), x.dtype),
+            pltpu.VMEM((_DMA_ROWS, w * cin), x.dtype),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(x, k1, b1, k2, b2)
+    )(x_flat, k1, b1, k2, b2)
+    return out[:, :h_out]
 
 
 def double_conv3x3_reference(x, k1, b1, k2, b2):
