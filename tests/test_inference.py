@@ -105,3 +105,45 @@ def test_video_engine_small():
     out = eng.run_video(clip)
     assert out.shape == (2, 272, 272, 1)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_video_cli_end_to_end(tmp_path, rng):
+    """Synthetic 2-frame scene through the full video CLI path."""
+    import shutil
+    import jax
+    from uncltmo_tpu.models.unet import UNetTMO
+    from uncltmo_tpu.utils.checkpoint import save_params
+    from uncltmo_tpu.utils.io import read_ldr_image
+    from cli.test_videoTMO import get_args, run_trained_model
+
+    model_dir = tmp_path / "model"
+    model_dir.mkdir()
+    model = UNetTMO()
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                    jnp.zeros((1, 256, 256, 1)))
+    save_params(str(model_dir / "trained_weights.msgpack"),
+                {"params_G": variables["params"]})
+    if os.path.exists(REF_SETTINGS):
+        shutil.copy(REF_SETTINGS, model_dir / "run_settings.npy")
+
+    scene = tmp_path / "scenes" / "scene_a"
+    scene.mkdir(parents=True)
+    for i in range(2):
+        frame = (rng.random((180, 300, 3)).astype(np.float32) ** 2) * 900
+        np.save(scene / f"{i:03d}.npy", frame)
+    lam_path = tmp_path / "lambdas.npy"
+    np.save(lam_path, {"scene_a": 40.0})
+    out_dir = tmp_path / "out"
+
+    args = get_args([
+        "--model_path", str(model_dir),
+        "--input_images_path", str(tmp_path / "scenes"),
+        "--output_path", str(out_dir),
+        "--f_factor_path", str(lam_path),
+    ])
+    run_trained_model(args)
+    outs = sorted((out_dir / "scene_a").glob("*.png"))
+    assert len(outs) == 2
+    im = read_ldr_image(str(outs[0]))
+    assert im.shape == (180, 300, 3)
+    assert im.std() > 0.001
