@@ -132,19 +132,20 @@ def make_train_step(gen: UNetTMO, disc: SimpleDiscriminator,
             def d_loss_fn(params_D):
                 d_real_pos, _ = d_apply(params_D, ldr_pos)
                 d_fake, _ = d_apply(params_D, fake_for_d)
-                return d_weight * adv.contrastive_d_loss(d_real_pos, d_fake)
+                loss = d_weight * adv.contrastive_d_loss(d_real_pos, d_fake)
+                return loss, (d_real_pos, d_fake)
 
-            err_d, grads_d = jax.value_and_grad(d_loss_fn)(state.params_D)
+            (err_d, (d_real_pre, d_fake_pre)), grads_d = jax.value_and_grad(
+                d_loss_fn, has_aux=True)(state.params_D)
             params_D, opt_state_D = apply_updates(
                 state.params_D, grads_d, state.opt_state_D, d_lr)
             logs["errD"] = err_d
             # accuracy counters (reference `Tester.update_test_loss`,
-            # `printer.print_epoch_acc_summary`: logit > 0.5 = "real")
-            d_real_now, _ = d_apply(params_D, ldr_pos)
-            d_fake_now, _ = d_apply(params_D, fake_for_d)
-            logs["accDreal"] = jnp.mean((d_real_now > 0.5).astype(jnp.float32))
-            logs["accDfake"] = jnp.mean((d_fake_now <= 0.5).astype(jnp.float32))
-            logs["accG"] = jnp.mean((d_fake_now > 0.5).astype(jnp.float32))
+            # `printer.print_epoch_acc_summary`: logit > 0.5 = "real"),
+            # from the pre-update D forwards already computed for the loss
+            logs["accDreal"] = jnp.mean((d_real_pre > 0.5).astype(jnp.float32))
+            logs["accDfake"] = jnp.mean((d_fake_pre <= 0.5).astype(jnp.float32))
+            logs["accG"] = jnp.mean((d_fake_pre > 0.5).astype(jnp.float32))
         else:
             params_D, opt_state_D = state.params_D, state.opt_state_D
 
