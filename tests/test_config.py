@@ -1,0 +1,53 @@
+"""Config system tests: CLI flags, run-settings snapshots, re-hydration."""
+import os
+
+import numpy as np
+
+from uncltmo_tpu import config
+
+
+def test_get_opt_snapshot_roundtrip(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    opt = config.get_opt([
+        "--batch_size", "8", "--num_epochs", "21", "--lr_decay_step", "50",
+        "--G_lr", "1e-5", "--D_lr", "1.5e-5",
+        "--loss_g_d_factor", "0.1", "--pyramid_weight_list", "0.2,0.4,0.6",
+        "--con_operator", "square_and_square_root",
+        "--result_dir_prefix", str(tmp_path / "run"),
+        "--change_random_seed", "0",
+    ])
+    assert opt.batch_size == 8
+    assert opt.manual_seed == 999  # change_random_seed=0 -> fixed seed
+    assert os.path.exists(os.path.join(opt.output_dir, "run_settings.npy"))
+    assert os.path.exists(os.path.join(opt.output_dir, "models"))
+
+    # inference-side re-hydration reads the snapshot (reference
+    # `get_model_params` contract)
+    mp = config.get_model_params(
+        "m", os.path.join(opt.output_dir, "run_settings.npy"))
+    assert mp["con_operator"] == "square_and_square_root"
+    assert mp["factor_coeff"] == 0.1
+    assert mp["g_doubleConvTranspose"] == 1
+
+
+def test_get_model_params_reads_reference_snapshot():
+    ref = ("/root/reference/activate_trained_model/model_weights_imageTMO/"
+           "run_settings.npy")
+    if not os.path.exists(ref):
+        return
+    mp = config.get_model_params("imageTMO", ref)
+    assert mp["con_operator"] == "square_and_square_root"
+    assert mp["up_mode"] == 0 and mp["g_doubleConvTranspose"] == 1
+    assert mp["data_trc"] == "min_log"
+
+
+def test_weight_list():
+    np.testing.assert_allclose(config.weight_list("0.2,0.4,0.6"),
+                               [0.2, 0.4, 0.6], rtol=1e-6)
+
+
+def test_manual_d_training_sets_input_dim(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    opt = config.get_opt(["--manual_d_training", "1",
+                          "--result_dir_prefix", str(tmp_path / "r")])
+    assert opt.input_dim == 2
