@@ -123,3 +123,22 @@ def test_tile_engine_sharded_matches_unsharded():
     mesh = pmesh.get_mesh()
     out = TileEngine(model, variables, chunk=8, mesh=mesh).run_image(img)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
+def test_train_step_video(rng):
+    """Video trainer path: recurrence + per-frame feature head in the loss."""
+    opt = Options(batch_size=1)
+    gen = make_generator(opt)
+    disc = make_discriminator(opt)
+    kg, kd = jax.random.split(jax.random.PRNGKey(0))
+    g_vars = jax.jit(gen.init)(kg, jnp.zeros((1, 256, 256, 1)))
+    d_vars = jax.jit(disc.init)(kd, jnp.zeros((1, 256, 256, 1)))
+    state = TrainState.create(g_vars["params"], d_vars["params"])
+    cfg = LossConfig(pyramid_weights=(0.2, 0.4, 0.6), video=True)
+    step = make_train_step(gen, disc, cfg)
+    batch = _batch(rng, b=1)
+    new_state, logs = step(state, batch, jax.random.PRNGKey(5),
+                           1e-5, 1.5e-5, stage=1)
+    assert np.isfinite(float(logs["errD"]))
+    assert np.isfinite(float(logs["errG_d"]))
+    assert np.isfinite(float(logs["errG_struct"]))
