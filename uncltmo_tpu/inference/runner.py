@@ -43,6 +43,10 @@ def postprocess_device(rgb_padded: jnp.ndarray, fake: jnp.ndarray,
     im_max = im_color.max()
     im_color = preprocess.crop_frame(im_color, diffY, diffX)
     im_color = jnp.clip(im_color, 0.0, im_max)
+    # the reference saver clamps to [0, 1] BEFORE the outlier percentile
+    # stretch (`hdr_image_util.py:237-241`): percentiles are computed on the
+    # clamped image
+    im_color = jnp.clip(im_color, 0.0, 1.0)
     return color.to_01_outlier(im_color)
 
 

@@ -178,6 +178,33 @@ class GanTrainer:
     def _generator_params(self):
         return jax.device_get(self.state.params_G)
 
+    def run_final_assessment(self, input_images_path: str,
+                             f_factor_path: str, scale: int = 4):
+        """Post-training output dump + optional FID
+        (`GanTrainer.save_data_for_assessment`, `GanTrainer.py:546-580`)."""
+        from uncltmo_tpu.config import get_model_params
+        from uncltmo_tpu.inference.runner import InferenceRunner
+        model_params = get_model_params(
+            self.opt.result_dir_prefix or "model",
+            os.path.join(self.opt.output_dir, "run_settings.npy"))
+        out_dir = os.path.join(self.opt.output_dir,
+                               f"final_{self.opt.final_epoch}",
+                               "color_stretch")
+        runner = InferenceRunner(model_params, net_path="",
+                                 params_G=self._generator_params())
+        outs = runner.run_on_path(input_images_path, out_dir,
+                                  f_factor_path, scale=scale)
+        if self.opt.fid_real_path and os.path.isdir(self.opt.fid_real_path):
+            try:
+                from uncltmo_tpu.metrics.fid import calculate_fid_given_paths
+                fid = calculate_fid_given_paths(
+                    [self.opt.fid_real_path, out_dir])
+                np.save(os.path.join(self.opt.output_dir, "fid_results.npy"),
+                        {model_params["model_name"]: fid})
+            except RuntimeError as e:
+                print(f"FID skipped: {e}")
+        return outs
+
     def load_checkpoint(self):
         path = ckpt.latest_checkpoint(
             os.path.join(self.opt.output_dir, P.MODELS_SAVE_PATH))
