@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import functools
 import os
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import jax
 import jax.numpy as jnp
@@ -17,7 +17,7 @@ import numpy as np
 
 from uncltmo_tpu.config import options_from_model_params
 from uncltmo_tpu.inference.engine import TileEngine
-from uncltmo_tpu.models.unet import UNetTMO, make_generator
+from uncltmo_tpu.models.unet import make_generator
 from uncltmo_tpu.ops import color, preprocess
 from uncltmo_tpu.utils import checkpoint as ckpt
 from uncltmo_tpu.utils.io import (HDR_EXTENSIONS, load_lambda_dict,

@@ -21,8 +21,6 @@ naturalness used by the contrastive losses is a vmap.
 """
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

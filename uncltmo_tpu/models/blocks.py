@@ -19,8 +19,6 @@ Reference citations are given per block.
 """
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

@@ -32,7 +32,7 @@ frame's recorded slice (`Unet.py:229-272`).
 """
 from __future__ import annotations
 
-from typing import Any, List, Optional, Tuple
+from typing import List, Optional, Tuple
 
 import flax.linen as nn
 import jax
