@@ -41,6 +41,11 @@ def install():
         def forward(self, x):
             return x  # eval-mode identity
 
+    # the reference hardcodes .cuda() inside its tilers/testers
+    # (`utils/model_save_util.py:414` etc.); run them on CPU for oracle tests
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    nn.Module.cuda = lambda self, *a, **k: self
+
     fake("timm")
     fake("timm.data", IMAGENET_DEFAULT_MEAN=(0, 0, 0),
          IMAGENET_DEFAULT_STD=(1, 1, 1))
@@ -50,9 +55,18 @@ def install():
          trunc_normal_=lambda *a, **k: None)
     fake("timm.models.registry", register_model=lambda f: f)
     fake("torchsummary", summary=lambda *a, **k: None)
+    class Compose:
+        def __init__(self, transforms):
+            self.transforms = transforms
+
+        def __call__(self, x):
+            for t in self.transforms:
+                x = t(x)
+            return x
+
     fake("torchvision")
     fake("torchvision.datasets", DatasetFolder=object)
-    fake("torchvision.transforms", Compose=lambda x: x, ToTensor=object,
+    fake("torchvision.transforms", Compose=Compose, ToTensor=object,
          Normalize=object)
     sk = fake("skimage")
     sk.transform = fake("skimage.transform", resize=lambda *a, **k: None)
@@ -111,6 +125,16 @@ def build_reference_unet(video=False, **overrides):
     net = RefUnet.UNet(**kw)
     net.eval()
     return net
+
+
+def import_model_save_util():
+    """Import the reference's `utils/model_save_util` (tilers, inference
+    pipeline) for use as a test oracle."""
+    install()
+    import matplotlib
+    matplotlib.use("Agg")
+    from utils import model_save_util
+    return model_save_util
 
 
 def build_reference_discriminator():

@@ -1,0 +1,131 @@
+"""Full-pipeline parity: the reference's `run_model_on_single_image2`
+(`utils/model_save_util.py:293-407` — load, /4 resize, pad, 256/64 tiled
+forward, percentile clamp/stretch, ratio-image color, frame crop, clamp,
+outlier-stretch save) vs `InferenceRunner.run_single_image`, with the SAME
+randomly-initialised generator weights converted from the torch state dict
+and the published `run_settings.npy` hyperparameters.
+
+The published .pth checkpoints are external downloads (zero-egress image);
+random weights exercise the identical code path end to end.  Asserts
+pixel-level agreement of the saved uint8 PNGs and TMQI delta < 0.005 (the
+BASELINE.json north star).
+
+Deviations exercised knowingly:
+  * both sides read the HDR via the repo's cv2 reader (the reference's
+    imageio FreeImage plugin needs a network download);
+  * the reference writer's 'PNG-FI' format is captured in-memory instead.
+"""
+import os
+
+import numpy as np
+import pytest
+
+import reference_shim
+
+torch = pytest.importorskip("torch")
+
+pytestmark = pytest.mark.skipif(not reference_shim.install(),
+                                reason="torch unavailable")
+
+BELGIUM = "/root/reference/activate_trained_model/input_images/belgium.hdr"
+RUN_SETTINGS = ("/root/reference/activate_trained_model/"
+                "model_weights_imageTMO/run_settings.npy")
+
+
+@pytest.fixture(scope="module")
+def big_hdr(tmp_path_factory):
+    """belgium.hdr upscaled so the /4-resized image still exceeds one tile
+    (769x1025 /4 = 192 rows < 256 would crash the reference tiler — its
+    row loop leaves h_end unbound for sub-tile images)."""
+    import cv2
+    from uncltmo_tpu.utils.io import read_hdr_image
+    rgb = read_hdr_image(BELGIUM)
+    big = cv2.resize(rgb, (1537, 1153))
+    path = str(tmp_path_factory.mktemp("hdr") / "belgium2x.hdr")
+    assert cv2.imwrite(path, cv2.cvtColor(big, cv2.COLOR_RGB2BGR))
+    return path
+
+
+@pytest.fixture(scope="module")
+def lambda_path(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("lam") / "lambdas.npy")
+    np.save(path, {"belgium2x": 160.0})
+    return path
+
+
+def _run_reference(msu, net, hdr_path, lam_path, out_dir, monkeypatch):
+    """Drive the reference pipeline, capturing the saved uint8 image."""
+    import imageio
+    from utils import hdr_image_util
+    from uncltmo_tpu.utils.io import read_hdr_image
+
+    captured = {}
+
+    def fake_imwrite(path, im, *a, **k):
+        captured[os.path.basename(str(path))] = np.asarray(im)
+
+    monkeypatch.setattr(hdr_image_util, "read_hdr_image",
+                        lambda p: read_hdr_image(str(p)))
+    monkeypatch.setattr(imageio, "imwrite", fake_imwrite)
+
+    model_params = msu.get_model_params("e2e_test", RUN_SETTINGS)
+    msu.run_model_on_single_image2(
+        net, hdr_path, torch.device("cpu"), "belgium2x", out_dir,
+        model_params, lam_path, model_params["final_shape_addition"])
+    assert "belgium2x_UnCLTMO.png" in captured, captured.keys()
+    return captured["belgium2x_UnCLTMO.png"], model_params
+
+
+def test_full_pipeline_parity(big_hdr, lambda_path, tmp_path, monkeypatch):
+    import cv2
+    import jax.numpy as jnp
+    from uncltmo_tpu.inference.runner import InferenceRunner
+    from uncltmo_tpu.utils.convert_torch import convert_generator
+
+    msu = reference_shim.import_model_save_util()
+    net = reference_shim.build_reference_unet(video=False)
+    g = torch.Generator().manual_seed(7)
+    with torch.no_grad():
+        for name, p in net.named_parameters():
+            if "relative_pos" in name:
+                continue
+            p.copy_(torch.randn(p.shape, generator=g) * 0.05)
+
+    ref_png, model_params = _run_reference(
+        msu, net, big_hdr, lambda_path, str(tmp_path / "ref"), monkeypatch)
+
+    params_g = convert_generator(
+        {k: v.numpy() for k, v in net.state_dict().items()})
+    runner = InferenceRunner(model_params, net_path="", params_G=params_g,
+                             dtype=jnp.float32)
+    out_path = runner.run_single_image(
+        big_hdr, "belgium2x", str(tmp_path / "mine"), lambda_path, scale=4)
+    mine_png = cv2.cvtColor(cv2.imread(out_path, cv2.IMREAD_COLOR),
+                            cv2.COLOR_BGR2RGB)
+
+    # ---- pixel-level agreement of the saved uint8 outputs -------------
+    assert mine_png.shape == ref_png.shape, (mine_png.shape, ref_png.shape)
+    diff = np.abs(mine_png.astype(np.int32) - ref_png.astype(np.int32))
+    frac_gt1 = float((diff > 1).mean())
+    assert diff.max() <= 3, f"max uint8 diff {diff.max()}"
+    assert frac_gt1 < 1e-3, f"{frac_gt1:.2e} of pixels differ by >1"
+
+    # ---- TMQI delta (north star: < 0.005) ------------------------------
+    # A random-weight generator's output anti-correlates with the HDR at
+    # some pyramid level, so the oracle's S = prod(power(s_local, w)) is
+    # NaN (negative base) for EVERY seed tried — a property of the metric
+    # on untrained outputs, not of either pipeline.  Assert on the
+    # components Q is built from (per-level s_local and N), and on Q
+    # itself whenever it is finite (i.e. with real trained weights).
+    ref_tmqi = reference_shim.import_reference_tmqi()
+    from uncltmo_tpu.utils.io import read_hdr_image
+    rgb = read_hdr_image(big_hdr)
+    hdr_small = cv2.resize(rgb, (rgb.shape[1] // 4, rgb.shape[0] // 4))
+    q_ref, _, n_ref, s_loc_ref, _ = ref_tmqi.TMQI()(
+        hdr_small.astype(np.float64), ref_png.astype(np.float64))
+    q_mine, _, n_mine, s_loc_mine, _ = ref_tmqi.TMQI()(
+        hdr_small.astype(np.float64), mine_png.astype(np.float64))
+    assert abs(n_ref - n_mine) < 0.005, (n_ref, n_mine)
+    np.testing.assert_allclose(s_loc_mine, s_loc_ref, atol=0.005)
+    if np.isfinite(q_ref) or np.isfinite(q_mine):
+        assert abs(q_ref - q_mine) < 0.005, (q_ref, q_mine)
