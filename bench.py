@@ -80,6 +80,69 @@ def measure_tpu_fps() -> float:
     return CALLS * FRAMES_PER_CALL / dt
 
 
+def measure_video_fps(frames: int = 6) -> float:
+    """Video TMO: a 6-frame 1080p scene through the 5-D tiler with the
+    temporal recurrence (`model_save_util.py:488-565` +
+    `run_model_on_video` equivalent), bf16, scalar-fetch synced."""
+    import jax
+    import jax.numpy as jnp
+    from uncltmo_tpu.inference.engine import TileEngine
+    from uncltmo_tpu.models.unet import UNetTMO
+
+    model = UNetTMO()
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                    jnp.zeros((1, 256, 256, 1)))
+    engine = TileEngine(model, variables, tile=256, overlap=64,
+                        chunk=12, dtype=jnp.bfloat16)
+    rng = np.random.default_rng(1)
+    scenes = [jnp.asarray(rng.random((frames, PAD_H, PAD_W, 1), np.float32))
+              for _ in range(2)]
+
+    def run(scene):
+        return float(jnp.sum(engine.run_video(scene)))
+
+    for i in range(2):
+        run(scenes[i % 2])
+    calls = 4
+    t0 = time.perf_counter()
+    for i in range(calls):
+        run(scenes[i % 2])
+    dt = time.perf_counter() - t0
+    return calls * frames / dt
+
+
+def measure_train_ms_per_step(batch: int = 8, steps: int = 6) -> float:
+    """Fused GAN train step (D+G updates, all losses) at the published
+    B=8 256x256 config, bf16 matmuls, on one chip."""
+    import jax
+    import jax.numpy as jnp
+    from uncltmo_tpu.models.discriminator import SimpleDiscriminator
+    from uncltmo_tpu.models.unet import UNetTMO
+    from uncltmo_tpu.training.state import TrainState
+    from uncltmo_tpu.training.train_step import LossConfig, make_train_step
+
+    jax.config.update("jax_default_matmul_precision", "bfloat16")
+    gen = UNetTMO()
+    disc = SimpleDiscriminator()
+    kg, kd = jax.random.split(jax.random.PRNGKey(0))
+    g_vars = jax.jit(gen.init)(kg, jnp.zeros((1, 256, 256, 1)))
+    d_vars = jax.jit(disc.init)(kd, jnp.zeros((1, 256, 256, 1)))
+    state = TrainState.create(g_vars["params"], d_vars["params"])
+    step = make_train_step(gen, disc, LossConfig())
+    rng = np.random.default_rng(2)
+    batch_data = {
+        k: jnp.asarray(rng.random((batch, 2, 256, 256, 1), np.float32))
+        for k in ("hdr", "ldr_pos", "ldr_neg")}
+    key = jax.random.PRNGKey(3)
+    state, logs = step(state, batch_data, key, 1e-5, 1.5e-5, stage=0)
+    float(logs["errD"])                                   # compile + sync
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, logs = step(state, batch_data, key, 1e-5, 1.5e-5, stage=0)
+        float(logs["errD"])
+    return (time.perf_counter() - t0) / steps * 1e3
+
+
 def measure_torch_cpu_baseline() -> float:
     """Reference PyTorch generator, same tile workload, host CPU (subset of
     tiles, extrapolated — tiles are independent and identical cost)."""
@@ -123,6 +186,8 @@ def get_baseline_fps() -> float:
 
 def main():
     fps = measure_tpu_fps()
+    video_fps = measure_video_fps()
+    train_ms = measure_train_ms_per_step()
     baseline = get_baseline_fps()
     result = {
         "metric": "1080p HDR tone-mapped frames/sec/chip (image TMO, "
@@ -130,6 +195,9 @@ def main():
         "value": round(fps, 3),
         "unit": "frames/sec",
         "vs_baseline": round(fps / baseline, 2) if baseline > 0 else None,
+        # secondary headline numbers (BASELINE.md benchmark configs)
+        "video_fps_1080p_6frame": round(video_fps, 3),
+        "train_ms_per_step_b8_256": round(train_ms, 2),
     }
     print(json.dumps(result))
 

@@ -107,14 +107,95 @@ def test_tv_loss_matches_direct(rng):
     assert float(adv.tv_loss(jnp.asarray(x))) == pytest.approx(ref, rel=1e-5)
 
 
-def test_pseudo_label_loss_runs(rng):
-    fake = jnp.asarray(rng.random((2, 256, 256, 1)).astype(np.float32))
-    loss = jax.jit(adv.pseudo_label_loss)(fake)
-    assert np.isfinite(float(loss))
+def _graded_images(rng, n, size):
+    """Images with well-separated naturalness (distinct means/contrasts) so
+    the TMQI-N ranking has no float32-vs-float64 tie ambiguity."""
+    means = np.linspace(0.12, 0.78, n)
+    spreads = np.linspace(0.08, 0.35, n)
+    ims = [np.clip(m + s * (rng.random((size, size)) - 0.5), 0, 1)
+           for m, s in zip(means, spreads)]
+    return np.stack(ims).astype(np.float32)[..., None]   # (n, size, size, 1)
 
 
-def test_info_nce2_prefers_best(rng):
-    fake = jnp.asarray(rng.random((4, 256, 256, 1)).astype(np.float32))
-    fea = jnp.asarray(rng.random((4, 1, 1, 8)).astype(np.float32))
-    loss = jax.jit(lambda f, x: adv.info_nce2(f, x, 1.0, 1e-2))(fea, fake)
-    assert np.isfinite(float(loss))
+def _reference_n_scores(images_01):
+    """Per-image statistical naturalness via the reference scipy TMQI
+    (`TMQI.py:210-242`); the N term depends only on the LDR image."""
+    import reference_shim
+    ref_tmqi = reference_shim.import_reference_tmqi()
+    t = ref_tmqi.TMQI()
+    return [float(t._StatisticalNaturalness(im[..., 0].astype(np.float64)
+                                            * 255.0))
+            for im in images_01]
+
+
+def test_pseudo_label_ranking_and_value_match_reference(rng):
+    """On-device naturalness ranking must pick the SAME best patch as the
+    reference's per-patch scipy loop (`GanTrainer.py:340-369`), and the
+    loss value must match the torch computation."""
+    torch = pytest.importorskip("torch")
+    import reference_shim
+    from uncltmo_tpu.metrics.tmqi import batched_naturalness
+
+    assert reference_shim.install()
+    from models.Discriminator import ContrastExtracter
+
+    split, ps, b = 2, 128, 2
+    patches_np = _graded_images(rng, b * split * split, ps)   # (8,128,128,1)
+    # assemble the (B, 256, 256, 1) fakes whose (j, k) patch grid flattens
+    # back to patches_np in the reference's i/j/k loop order
+    fake_np = patches_np.reshape(b, split, split, ps, ps, 1) \
+                        .transpose(0, 1, 3, 2, 4, 5).reshape(b, 256, 256, 1)
+
+    ref_scores = _reference_n_scores(patches_np)
+    mine_scores = np.asarray(batched_naturalness(
+        jnp.asarray(patches_np[..., 0]) * 255.0))
+    assert int(np.argmax(mine_scores)) == int(np.argmax(ref_scores))
+    assert [int(i) for i in np.argsort(mine_scores)] == \
+        [int(i) for i in np.argsort(ref_scores)]
+
+    # reference loss value (torch, `GanTrainer.py:359-369`)
+    pt = torch.tensor(patches_np.transpose(0, 3, 1, 2))      # (P,1,ps,ps)
+    pseudo = pt[int(np.argmax(ref_scores))][None].repeat(len(pt), 1, 1, 1)
+    l1 = torch.nn.L1Loss()
+    ref_loss = l1(pt.mean(dim=[-1, -2]), pseudo.mean(dim=[-1, -2]))
+    ce = ContrastExtracter()
+    ref_loss = ref_loss + l1(ce(pt).mean(dim=[-1, -2]),
+                             ce(pseudo).mean(dim=[-1, -2]))
+
+    mine = float(jax.jit(adv.pseudo_label_loss)(jnp.asarray(fake_np)))
+    assert mine == pytest.approx(float(ref_loss), rel=1e-3)
+
+
+def test_info_nce2_ranking_and_value_match_reference(rng):
+    """On-device best/worst image selection + NCE value must match the
+    reference's scipy-ranked torch computation (`GanTrainer.py:385-440`)."""
+    torch = pytest.importorskip("torch")
+    import reference_shim
+    assert reference_shim.install()
+    import torch.nn.functional as F
+
+    b, k, c = 4, 1.0, 1e-2
+    fake_np = _graded_images(rng, b, 256)                     # (4,256,256,1)
+    fea_np = rng.random((b, 4, 4, 8)).astype(np.float32)      # NHWC features
+
+    ref_scores = _reference_n_scores(fake_np)
+    i_best = int(np.argmax(ref_scores))
+    i_worst = int(np.argmin(ref_scores))
+
+    # reference nce (`GanTrainer.py:413-440`), NCHW torch
+    fa = torch.tensor(fea_np.transpose(0, 3, 1, 2))
+    fp = fa[i_best][None].repeat(b, 1, 1, 1)
+    fn = fa[i_worst][None].repeat(b, 1, 1, 1)
+
+    def sim(x, y):
+        return torch.sum(x * y / (c + k * torch.abs(x - y)),
+                         dim=1).mean(dim=[-1, -2]).unsqueeze(1)
+
+    logits = torch.cat([sim(fa, fp), sim(fa, fn)], dim=1)
+    ref_loss = float(F.cross_entropy(
+        logits, torch.zeros(b, dtype=torch.long)))
+
+    mine = float(jax.jit(
+        lambda f, x: adv.info_nce2(f, x, k, c))(jnp.asarray(fea_np),
+                                                jnp.asarray(fake_np)))
+    assert mine == pytest.approx(ref_loss, rel=1e-3)

@@ -54,3 +54,85 @@ def test_btmqi_sanity(rng):
     s_flat, f_flat = btmqi(flat)
     assert f_good.shape == (11,)
     assert s_good > s_flat  # detailed mid-tone image beats a flat dark one
+
+
+def _shifted_pair(shift=6, shape=(200, 240)):
+    """Smooth textured frame + its horizontal translation."""
+    import cv2
+    rng = np.random.default_rng(11)
+    base = cv2.GaussianBlur(
+        rng.random(shape).astype(np.float32), (0, 0), 2.0)
+    base = (base - base.min()) / (base.max() - base.min())
+    f0 = np.stack([base] * 3, -1)
+    f1 = np.roll(f0, shift, axis=1)
+    return f0, f1
+
+
+def test_warp_error_matches_reference_protocol():
+    """compute_warp_error must equal a literal transcription of the
+    reference's protocol (`Tester.py:378-390` + `:414-496`): flow =
+    calc(frame0, frame1) on channel 0, remap frame1 by flow+grid, uint8/255,
+    E1/E2 on a 32-px center crop."""
+    import cv2
+    from uncltmo_tpu.metrics.warp_error import compute_warp_error
+    f0, f1 = _shifted_pair()
+
+    u0 = (f0 * 255).clip(0, 255).astype(np.uint8)
+    u1 = (f1 * 255).clip(0, 255).astype(np.uint8)
+    est = cv2.DISOpticalFlow_create(cv2.DISOPTICAL_FLOW_PRESET_MEDIUM)
+    flow = est.calc(u0[..., 0], u1[..., 0], None)
+    fmap = flow.copy()
+    fmap[:, :, 0] += np.arange(fmap.shape[1])
+    fmap[:, :, 1] += np.arange(fmap.shape[0])[:, None]
+    warped = cv2.remap(u1, fmap, None, cv2.INTER_LINEAR).astype(
+        np.float32) / 255.0
+    tgt = u0.astype(np.float32) / 255.0
+    a, b = warped[32:-32, 32:-32], tgt[32:-32, 32:-32]
+    e1_ref = float(np.mean((a - b) ** 2))
+    e2_ref = float(np.mean(np.abs(a - b) / (1e-8 + a + b)))
+
+    e1, e2 = compute_warp_error(f0, f1, algo="DIS")
+    assert e1 == pytest.approx(e1_ref, rel=1e-6)
+    assert e2 == pytest.approx(e2_ref, rel=1e-6)
+
+
+def test_warp_error_flow_direction():
+    """The flow must align frame1 ONTO frame0: on a pure translation the
+    compensated error is a small fraction of the uncompensated one (a
+    reversed flow direction roughly doubles the displacement instead)."""
+    from uncltmo_tpu.metrics.warp_error import compute_warp_error
+    f0, f1 = _shifted_pair()
+    e1_flow, _ = compute_warp_error(f0, f1, algo="DIS")
+    e1_noflow = float(np.mean((f1[32:-32, 32:-32] - f0[32:-32, 32:-32]) ** 2))
+    assert e1_flow < 0.15 * e1_noflow, (e1_flow, e1_noflow)
+
+
+def test_warp_error_estimator_substitution_bound():
+    """DeepFlow (opencv-contrib) is unavailable in this image; DIS and
+    Farneback are the substitutes.  Bound their E1 discrepancy on a fixed
+    pair: both must compensate the motion and agree within 20% of the
+    uncompensated error."""
+    from uncltmo_tpu.metrics.warp_error import compute_warp_error
+    f0, f1 = _shifted_pair()
+    e1_noflow = float(np.mean((f1[32:-32, 32:-32] - f0[32:-32, 32:-32]) ** 2))
+    e1_dis, e2_dis = compute_warp_error(f0, f1, algo="DIS")
+    e1_fb, e2_fb = compute_warp_error(f0, f1, algo="Farneback")
+    assert e1_dis < 0.3 * e1_noflow and e1_fb < 0.3 * e1_noflow
+    assert abs(e1_dis - e1_fb) < 0.2 * e1_noflow, (e1_dis, e1_fb, e1_noflow)
+
+
+def test_warp_error_baseline_flow_source():
+    """Flow estimated on clean baseline renders still aligns noisy model
+    outputs (the reference's L1L0 protocol, `Tester.py:378-390`)."""
+    from uncltmo_tpu.metrics.warp_error import compute_warp_error
+    f0, f1 = _shifted_pair()
+    rng = np.random.default_rng(3)
+    noisy0 = np.clip(f0 + rng.normal(0, 0.02, f0.shape), 0, 1)
+    noisy1 = np.clip(f1 + rng.normal(0, 0.02, f1.shape), 0, 1)
+    e1_noflow = float(
+        np.mean((noisy1[32:-32, 32:-32] - noisy0[32:-32, 32:-32]) ** 2))
+    e1, e2 = compute_warp_error(noisy0, noisy1,
+                                flow_source0=f0, flow_source1=f1,
+                                algo="DIS")
+    assert np.isfinite(e1) and np.isfinite(e2)
+    assert e1 < 0.5 * e1_noflow

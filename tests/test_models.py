@@ -115,3 +115,44 @@ def test_upconvt2x2_matches_torch():
                             "bias": jnp.asarray(b)}}
     out = mod.apply(variables, jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("d_model", ["simpleD", "original", "dcgan",
+                                     "patchD", "multiLayerD_simpleD",
+                                     "multiLayerD_dcgan",
+                                     "multiLayerD_patchD"])
+def test_discriminator_factory_all_reference_variants(d_model, rng):
+    """make_discriminator must build every d_model the reference factory
+    supports (`utils/model_save_util.py:97-118`) and forward cleanly."""
+    import jax
+    import jax.numpy as jnp
+    from uncltmo_tpu.config import Options
+    from uncltmo_tpu.models.discriminator import make_discriminator
+
+    opt = Options(d_model=d_model, d_down_dim=8, num_D=2, d_nlayers=2)
+    d = make_discriminator(opt)
+    x = jnp.asarray(rng.random((2, 256, 256, 1)).astype(np.float32))
+    variables = jax.jit(d.init)(jax.random.PRNGKey(0), x)
+    out = d.apply(variables, x)
+    if d_model == "simpleD":
+        logit, fea = out
+        assert logit.shape == (2, 1) and fea.shape[-1] == 2
+    elif "multiLayerD" in d_model:
+        assert len(out) == 2                    # num_D scales
+    else:
+        assert out.shape[0] == 2                # score map / logit
+
+
+def test_discriminator_factory_rejects_unknown():
+    from uncltmo_tpu.config import Options
+    from uncltmo_tpu.models.discriminator import make_discriminator
+    with pytest.raises(ValueError, match="Unsupported d_model"):
+        make_discriminator(Options(d_model="nonsense"))
+
+
+def test_bottleneck_grid_formula():
+    from uncltmo_tpu.models.unet import bottleneck_grid
+    assert bottleneck_grid(256) == 12   # published config (docstring map)
+    assert bottleneck_grid(112) == 3    # dryrun_multichip size
+    with pytest.raises(ValueError):
+        bottleneck_grid(48)

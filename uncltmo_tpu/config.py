@@ -97,13 +97,25 @@ class Options:
     # ====== SAVE RESULTS ======
     epoch_to_save: int = 2
     result_dir_prefix: str = ""
+    # Directory of the L1L0-baseline tone-mapped renders used as the flow
+    # source for the video warp-error protocol (the reference hardcodes
+    # '../output_testvideoall_L1L0', `Tester.py:378-390`).  "none" -> flow
+    # is estimated on the model's own renders (documented fallback; NOT
+    # protocol-comparable to the paper numbers).
+    baseline_flow_dir: str = "none"
     final_epoch: int = 1
     fid_real_path: str = "none"
     fid_res_path: str = "fid_results"
     # ====== TPU-NATIVE EXTRAS (not in the reference CLI) ======
     compute_dtype: str = "float32"     # "bfloat16" for fastest training
-    data_parallel: int = 1             # devices for batch sharding (0=auto)
+    data_parallel: int = 0             # devices for batch sharding; 0=auto
+                                       # (all devices when batch divides),
+                                       # >1 = required (errors on mismatch)
     log_every: int = 50
+    train_input_size: int = 0          # 0 = params.INPUT_SIZE (256, the
+                                       # published config); smaller values
+                                       # (multiples of 16, >= 96) give fast
+                                       # smoke runs / CPU-mesh tests
     debug_nans: int = 0                # jax debug_nans/infs sanitizer (the
                                        # reference's detect_anomaly analog)
     # -- filled by get_opt()

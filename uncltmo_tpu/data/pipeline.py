@@ -84,19 +84,31 @@ def hdr_log_input(gray: np.ndarray, brightness_factor: float) -> np.ndarray:
 
 class LambdaTable:
     """{name: lambda} lookup with the *255*factor_coeff scaling
-    (`ProcessedDatasetFolder.py:26-35`)."""
+    (`ProcessedDatasetFolder.py:26-35`).
+
+    A missing key raises (the reference's `get_f` semantics,
+    `utils/data_loader_util.py:212-222`) unless an explicit `default` is
+    passed — a typo'd dataset must not silently train with a wrong
+    brightness factor."""
 
     def __init__(self, path: Optional[str], factor_coeff: float,
-                 default: float = 4000.0):
+                 default: Optional[float] = None):
         self.factor_coeff = factor_coeff
         self.default = default
+        self.path = path
         self.table = {}
         if path and path != "none" and os.path.exists(path):
             self.table = np.load(path, allow_pickle=True)[()]
 
     def __call__(self, name: str) -> float:
-        lam = self.table.get(name, self.default)
-        return float(lam) * 255.0 * self.factor_coeff
+        if name not in self.table:
+            if self.default is not None:
+                return float(self.default) * 255.0 * self.factor_coeff
+            raise KeyError(
+                f"no lambda found for {name!r} in {self.path!r} "
+                "(reference get_f raises here too; pass default= to "
+                "override explicitly)")
+        return float(self.table[name]) * 255.0 * self.factor_coeff
 
 
 class TrainDataSource:
@@ -107,7 +119,9 @@ class TrainDataSource:
                  hdr_video_glob: Optional[str] = None,
                  srgb_video_glob: Optional[str] = None,
                  neg_ldr_glob: Optional[str] = None,
-                 video_lambda_table: Optional[LambdaTable] = None):
+                 video_lambda_table: Optional[LambdaTable] = None,
+                 size: int = 256):
+        self.size = size
         self.hdr_files = sorted(glob.glob(hdr_glob)) if hdr_glob else []
         self.ldr_files = sorted(glob.glob(ldr_glob)) if ldr_glob else []
         self.hdr_video = sorted(glob.glob(hdr_video_glob)) \
@@ -125,7 +139,8 @@ class TrainDataSource:
     # -- item loaders ---------------------------------------------------
     def _load_static(self, path: str, rng) -> np.ndarray:
         return random_resize_crop(
-            np.load(path, allow_pickle=True).astype(np.float32), rng)
+            np.load(path, allow_pickle=True).astype(np.float32), rng,
+            size=self.size)
 
     def _hdr_frames(self, path: str, rng, video: bool) -> np.ndarray:
         """Two lambda-log luma frames (2, 256, 256, 1)."""
@@ -134,13 +149,14 @@ class TrainDataSource:
             lam = self.video_lam(os.path.basename(os.path.dirname(path)))
             base = os.path.basename(path)
             frame_id = int(os.path.splitext(base)[0])
+            s = self.size
             im0 = np.load(path, allow_pickle=True).astype(np.float32)
-            xx = rng.integers(0, max(im0.shape[1] - 256, 1))
+            xx = rng.integers(0, max(im0.shape[1] - s, 1))
             nxt = path.replace(base, "%03d.npy" % (frame_id + 1))
             paths = [path, nxt if os.path.exists(nxt) else path]
             for p in paths:
                 im = np.load(p, allow_pickle=True).astype(np.float32)
-                im = im[:256, xx:xx + 256]
+                im = im[:s, xx:xx + s]
                 frames.append(hdr_log_input(_rgb_to_yuv_luma(im), lam))
         else:
             name = os.path.splitext(os.path.basename(path))[0]

@@ -37,15 +37,21 @@ def _to_uint8(img: np.ndarray) -> np.ndarray:
 
 def estimate_inv_flow(img0: np.ndarray, img1: np.ndarray,
                       algo: str = "auto") -> np.ndarray:
-    """Inverse flow (img1 -> img0 alignment), grayscale uint8 inputs."""
+    """Flow aligning img1 onto img0, grayscale uint8 inputs.
+
+    Returns flow f with img1(p + f(p)) ~= img0(p), so remapping img1 by f
+    reconstructs img0.  This is calc(prev=img0, next=img1) in the cv2
+    convention — the reference's `compute_flow(img1, img0)` resolves to
+    exactly this call after its internal argument renames
+    (`Tester.py:450-476`: of_estim.calc(img_source, img_to_align))."""
     assert img0.dtype == np.uint8 and img1.dtype == np.uint8
     if algo in ("auto", "DeepFlow") and hasattr(cv2, "optflow"):
         est = cv2.optflow.createOptFlow_DeepFlow()
-        return est.calc(img1, img0, None)
+        return est.calc(img0, img1, None)
     if algo in ("auto", "DIS") and hasattr(cv2, "DISOpticalFlow_create"):
         est = cv2.DISOpticalFlow_create(cv2.DISOPTICAL_FLOW_PRESET_MEDIUM)
-        return est.calc(img1, img0, None)
-    return cv2.calcOpticalFlowFarneback(img1, img0, None,
+        return est.calc(img0, img1, None)
+    return cv2.calcOpticalFlowFarneback(img0, img1, None,
                                         0.5, 3, 15, 3, 5, 1.2, 0)
 
 

@@ -70,6 +70,49 @@ class SimpleDiscriminator(nn.Module):
         return out, fea_final.reshape(fea_final.shape[0], 1, 1, -1)
 
 
+class DCGANDiscriminator(nn.Module):
+    """Legacy DCGAN-style discriminator (reference `Discriminator.py:8-48`,
+    d_model="original"/"dcgan"): conv4s2p1 stack halving the map until 8 px
+    (channels doubling, capped at 512), then a valid 4x4 conv to one
+    channel; optional fully-connected head."""
+    input_size: int = 256
+    dim: int = 16
+    norm: str = "none"
+    last_activation: str = "none"
+    d_fully_connected: bool = False
+    d_nlayers: int = 3
+
+    @nn.compact
+    def __call__(self, x):
+        lrelu = activation_fn("leakyrelu")
+        pad = [(1, 1), (1, 1)]
+        x = nn.Conv(self.dim, (4, 4), strides=(2, 2), padding=pad,
+                    kernel_init=xavier_gain2, name="conv_in")(x)
+        x = lrelu(x)
+        if self.d_fully_connected:
+            n_downsample = self.d_nlayers
+        else:
+            n_downsample, size = 0, self.input_size
+            while size > 8:
+                size //= 2
+                n_downsample += 1
+        dim = self.dim
+        for i in range(n_downsample):
+            dim = min(dim * 2, 512)
+            x = nn.Conv(dim, (4, 4), strides=(2, 2), padding=pad,
+                        kernel_init=xavier_gain2, name=f"down{i}")(x)
+            x = _maybe_norm(self.norm, x)
+            x = lrelu(x)
+        x = nn.Conv(1, (4, 4), strides=(1, 1), padding="VALID",
+                    kernel_init=xavier_gain2, name="conv_out")(x)
+        if self.d_fully_connected:
+            x = nn.Dense(1, use_bias=False, kernel_init=xavier_gain2,
+                         name="fc")(x.reshape(x.shape[0], -1))
+        if self.last_activation == "sigmoid":
+            x = nn.sigmoid(x)
+        return x
+
+
 class NLayerDiscriminator(nn.Module):
     """PatchGAN discriminator (reference `Discriminator.py:129-167`)."""
     ndf: int = 64
@@ -104,8 +147,9 @@ class NLayerDiscriminator(nn.Module):
 
 
 class MultiscaleDiscriminator(nn.Module):
-    """num_D SimpleDiscriminators over a bicubic half-resolution pyramid
-    (reference `Discriminator.py:170-206`)."""
+    """num_D sub-discriminators over a bicubic half-resolution pyramid
+    (reference `Discriminator.py:170-206`); the sub-type is chosen by the
+    d_model name, like the reference ('dcgan' / 'patchD' / 'simpleD')."""
     input_size: int = 256
     dim: int = 16
     num_D: int = 3
@@ -113,31 +157,78 @@ class MultiscaleDiscriminator(nn.Module):
     last_activation: str = "none"
     simpleD_maxpool: bool = False
     padding: int = 0
+    d_model: str = "multiLayerD_simpleD"
+    d_nlayers: int = 3
+    d_fully_connected: bool = False
 
     @nn.compact
     def __call__(self, x):
         results = []
         size = self.input_size
         for i in range(self.num_D):
-            d = SimpleDiscriminator(size, self.dim, self.norm,
-                                    self.last_activation, self.simpleD_maxpool,
-                                    self.padding, name=f"layer{i}")
+            if "dcgan" in self.d_model:
+                d = DCGANDiscriminator(size, self.dim, self.norm,
+                                       self.last_activation,
+                                       self.d_fully_connected,
+                                       self.d_nlayers, name=f"layer{i}")
+                size //= 2
+            elif "patchD" in self.d_model:
+                d = NLayerDiscriminator(self.dim, self.d_nlayers, self.norm,
+                                        self.last_activation,
+                                        name=f"layer{i}")
+            else:
+                d = SimpleDiscriminator(size, self.dim, self.norm,
+                                        self.last_activation,
+                                        self.simpleD_maxpool,
+                                        self.padding, name=f"layer{i}")
+                size //= 2
             results.append(d(x))
             if i != self.num_D - 1:
                 x = bicubic_half(x)
-                size //= 2
         return results
 
 
 def make_discriminator(opt=None, **overrides):
-    kw: dict = {}
-    if opt is not None:
-        if opt.d_model == "simpleD":
-            kw = dict(input_size=256, dim=opt.d_down_dim, norm=opt.d_norm,
-                      last_activation=opt.d_last_activation,
-                      simpleD_maxpool=bool(opt.simpleD_maxpool),
-                      padding=opt.d_padding)
-        else:
-            raise ValueError(f"Unsupported d_model: {opt.d_model}")
-    kw.update(overrides)
-    return SimpleDiscriminator(**kw)
+    """Build the discriminator the reference factory would
+    (`utils/model_save_util.py:97-118`): d_model in {"simpleD", "original"
+    (dcgan), "patchD", "multiLayerD_*"}.
+
+    Note the contrastive GAN losses consume SimpleDiscriminator's
+    (logit, feature) pair; the other variants return score maps only and
+    exist for checkpoint/CLI compatibility (the reference trainer has the
+    same constraint — `GanTrainer.py:238-239` unpacks two values)."""
+    if opt is None:
+        return SimpleDiscriminator(**overrides)
+    d_model = opt.d_model
+    if d_model == "simpleD":
+        kw = dict(input_size=256, dim=opt.d_down_dim, norm=opt.d_norm,
+                  last_activation=opt.d_last_activation,
+                  simpleD_maxpool=bool(opt.simpleD_maxpool),
+                  padding=opt.d_padding)
+        kw.update(overrides)
+        return SimpleDiscriminator(**kw)
+    if d_model in ("original", "dcgan"):
+        kw = dict(input_size=256, dim=opt.d_down_dim, norm=opt.d_norm,
+                  last_activation=opt.d_last_activation,
+                  d_fully_connected=bool(opt.d_fully_connected),
+                  d_nlayers=opt.d_nlayers)
+        kw.update(overrides)
+        return DCGANDiscriminator(**kw)
+    if d_model == "patchD":
+        kw = dict(ndf=opt.d_down_dim, n_layers=opt.d_nlayers,
+                  norm=opt.d_norm, last_activation=opt.d_last_activation)
+        kw.update(overrides)
+        return NLayerDiscriminator(**kw)
+    if "multiLayerD" in d_model:
+        kw = dict(input_size=256, dim=opt.d_down_dim, num_D=opt.num_D,
+                  norm=opt.d_norm, last_activation=opt.d_last_activation,
+                  simpleD_maxpool=bool(opt.simpleD_maxpool),
+                  padding=opt.d_padding, d_model=d_model,
+                  d_nlayers=opt.d_nlayers,
+                  d_fully_connected=bool(opt.d_fully_connected))
+        kw.update(overrides)
+        return MultiscaleDiscriminator(**kw)
+    raise ValueError(
+        f"Unsupported d_model: {d_model!r} (reference factory supports "
+        "'simpleD', 'original'/'dcgan', 'patchD', 'multiLayerD_*' — "
+        "`utils/model_save_util.py:97-118`)")

@@ -75,6 +75,8 @@ class UNetTMO(nn.Module):
     stretch_g: str = "none"
     recurrent_ch_ratio: float = params.RECURRENT_CH_RATIO
     gcn_grid: int = params.GCN_GRID
+    to_crop: bool = False              # add_frame output crop (reference
+                                       # `Unet_singleFrame.py:106,210-211`)
 
     def setup(self):
         f = self.filters
@@ -155,11 +157,19 @@ class UNetTMO(nn.Module):
             x_out = blocks.min_max_normalization(x_out)
         return x_out, up_x, new_carry
 
-    def __call__(self, x: jnp.ndarray, *, deterministic: bool = True
+    def __call__(self, x: jnp.ndarray, *, deterministic: bool = True,
+                 apply_crop: bool = False, diffY: int = 0, diffX: int = 0
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Image-mode forward (reference `Unet_singleFrame.py:177-213`):
-        (B, H, W, C) -> (tone-mapped (B, H, W, 1), decoder features)."""
+        (B, H, W, C) -> (tone-mapped (B, H, W, 1), decoder features).
+
+        apply_crop/diffY/diffX: the add_frame protocol's output crop
+        (`Unet_singleFrame.py:210-211`), active only when the module was
+        built with to_crop (= the add_frame config)."""
         out, up_x, _ = self.frame(x, None, deterministic=deterministic)
+        if apply_crop and self.to_crop and (diffY or diffX):
+            from uncltmo_tpu.ops.preprocess import crop_center_batch
+            out = crop_center_batch(out, diffY, diffX)
         return out, up_x
 
     def feature_head(self, up_x: jnp.ndarray) -> jnp.ndarray:
@@ -168,6 +178,20 @@ class UNetTMO(nn.Module):
         fea1 = adaptive_avg_pool_1(up_x)
         fea2 = adaptive_avg_pool_1(contrast_map(up_x))
         return jnp.concatenate([fea1, fea2], axis=-1).reshape(up_x.shape[0], -1)
+
+
+def bottleneck_grid(input_size: int, depth: int = 4) -> int:
+    """Bottleneck spatial size for a valid-conv U-Net input (the GCN
+    pos-embed grid): 256 -> 12, 112 -> 3 (see the size map in the module
+    docstring)."""
+    n = input_size - 4                       # inc: two valid 3x3 convs
+    for _ in range(depth - 1):
+        n = n // 2 - 4                       # down: maxpool + double conv
+    n = n // 2                               # last_down: conv + convT(3,1)
+    if n < 2:
+        raise ValueError(f"input_size {input_size} too small for depth "
+                         f"{depth} (bottleneck would be {n})")
+    return n
 
 
 def make_generator(opt=None, **overrides) -> UNetTMO:
@@ -182,7 +206,8 @@ def make_generator(opt=None, **overrides) -> UNetTMO:
             double_conv_transpose=bool(opt.g_doubleConvTranspose),
             up_mode=bool(opt.up_mode), bilinear=bool(opt.bilinear),
             padding_mode="edge" if opt.padding == "replicate" else opt.padding,
-            stretch_g=opt.stretch_g)
+            stretch_g=opt.stretch_g,
+            to_crop=bool(opt.add_frame))
     kw.update(overrides)
     return UNetTMO(**kw)
 

@@ -39,12 +39,41 @@ class Tester:
         self.lambda_table: Dict[str, float] = {}
         if opt.f_factor_path and os.path.exists(opt.f_factor_path):
             self.lambda_table = load_lambda_dict(opt.f_factor_path)
+        self._maybe_calc_lambdas(opt.test_dataroot_original_hdr)
         self.original_hdr = self._preload(opt.test_dataroot_original_hdr)
+
+    def _maybe_calc_lambdas(self, root: Optional[str]) -> None:
+        """Compute lambdas missing for the eval set, like the reference's
+        Tester init does (`Tester.py:40-42` -> `adaptive_lambda.calc_lambda`).
+        Requires `mean_hist_path`; without it, a missing name raises later
+        in `_lambda_for` (the reference would crash inside calc_lambda)."""
+        if not root or not os.path.isdir(root):
+            return
+        missing = any(
+            os.path.splitext(n)[0] not in self.lambda_table
+            for n in os.listdir(root)
+            if os.path.splitext(n)[1] in HDR_EXTENSIONS)
+        hist = self.opt.mean_hist_path
+        if not missing or not hist or not os.path.exists(hist):
+            return
+        from uncltmo_tpu.ops.lambda_est import calc_lambda
+        os.makedirs(self.opt.lambdas_path, exist_ok=True)
+        out = calc_lambda(self.opt.f_factor_path, HDR_EXTENSIONS, root,
+                          hist, self.opt.lambdas_path, self.opt.bins)
+        if out and os.path.exists(out):
+            self.lambda_table = {**load_lambda_dict(out), **self.lambda_table}
 
     # ------------------------------------------------------------------
     def _lambda_for(self, name: str) -> float:
-        lam = float(self.lambda_table.get(name, 4000.0))
-        return lam * 255.0 * self.opt.factor_coeff
+        """Brightness factor for an eval image/scene.  Missing keys raise,
+        matching the reference's `get_f` KeyError semantics
+        (`utils/data_loader_util.py:212-222`) — a typo'd dataset must not
+        silently evaluate with a wrong lambda."""
+        if name not in self.lambda_table:
+            raise KeyError(
+                f"no lambda for {name!r} in {self.opt.f_factor_path!r}; "
+                "run cli/prepare_lambdas.py for this dataset")
+        return float(self.lambda_table[name]) * 255.0 * self.opt.factor_coeff
 
     def _preload(self, root: Optional[str]) -> List[Dict]:
         """Preload + preprocess the fixed eval images
@@ -118,6 +147,27 @@ class Tester:
             scores.append(q)
         return float(np.mean(scores)) if scores else 0.0
 
+    def _baseline_flow_pair(self, scene: str, names: List[str]):
+        """L1L0-baseline renders of the scene's first two frames, used as
+        the optical-flow source for the warp-error protocol
+        (`Tester.py:378-385`: '<dir>/<scene>/<frame>_L1L0TM.png', read with
+        cv2.imread i.e. BGR).  Returns (None, None) when the baseline dir is
+        not configured or the files are absent — flow then falls back to
+        the model's own renders (not protocol-comparable)."""
+        base = getattr(self.opt, "baseline_flow_dir", "none")
+        if not base or base == "none":
+            return None, None
+        import cv2
+        pair = []
+        for nm in names:
+            p = os.path.join(base, scene,
+                             os.path.splitext(nm)[0] + "_L1L0TM.png")
+            img = cv2.imread(p) if os.path.exists(p) else None
+            if img is None:
+                return None, None
+            pair.append(img)
+        return pair[0], pair[1]
+
     def eval_on_video_root(self, root: str, frames_per_scene: int = 6):
         """Per-scene TMQI + warp error (`Tester.py:314-392`)."""
         tmqi_total, e1_total, e2_total, n = 0.0, 0.0, 0.0, 0
@@ -148,7 +198,10 @@ class Tester:
                 scene_q += q
             tmqi_total += scene_q / len(names)
             if len(rendered) >= 2:
-                e1, e2 = compute_warp_error(rendered[0], rendered[1])
+                src0, src1 = self._baseline_flow_pair(scene, names[:2])
+                e1, e2 = compute_warp_error(rendered[0], rendered[1],
+                                            flow_source0=src0,
+                                            flow_source1=src1)
                 e1_total += e1
                 e2_total += e2
             n += 1

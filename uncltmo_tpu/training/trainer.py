@@ -41,8 +41,57 @@ class GanTrainer:
         self.epoch = 0
         self.num_iter = 0
 
-        self.gen = make_generator(opt)
-        self.disc = make_discriminator(opt)
+        # validate the data-parallel request before any expensive init
+        self._n_dp = 0
+        if use_mesh:
+            n_dev = len(jax.devices())
+            n_req = int(getattr(opt, "data_parallel", 0))
+            if n_req == 0:
+                n_req = n_dev if (n_dev > 1 and
+                                  opt.batch_size % n_dev == 0) else 1
+            if n_req > 1:
+                if n_req > n_dev:
+                    raise ValueError(
+                        f"data_parallel={n_req} requested but only "
+                        f"{n_dev} devices are visible")
+                if opt.batch_size % n_req != 0:
+                    raise ValueError(
+                        f"batch_size={opt.batch_size} is not divisible by "
+                        f"data_parallel={n_req}; choose a divisible batch")
+            self._n_dp = n_req
+
+        if opt.add_frame:
+            # The reference's add_frame TRAINING path is internally
+            # inconsistent (the dataset pads both HDR and LDR crops while
+            # the generator crops its output, so the fixed-size
+            # SimpleDiscriminator would see mismatched shapes) and no
+            # published config uses it; the model-level crop (to_crop) is
+            # wired for inference parity only.
+            raise ValueError(
+                "add_frame training is not supported (the reference path "
+                "is unused/inconsistent; published configs use add_frame=0)")
+        self.input_size = int(getattr(opt, "train_input_size", 0)) \
+            or P.INPUT_SIZE
+        gen_overrides = {}
+        disc_overrides = {}
+        if self.input_size != P.INPUT_SIZE:
+            from uncltmo_tpu.models.unet import bottleneck_grid
+            gen_overrides["gcn_grid"] = bottleneck_grid(self.input_size,
+                                                        opt.unet_depth)
+            if opt.d_model != "patchD":    # patchD is size-agnostic
+                disc_overrides["input_size"] = self.input_size
+        if opt.train_with_D and opt.d_model != "simpleD":
+            # The contrastive losses consume SimpleDiscriminator's
+            # (logit, feature) pair; other variants return score maps only.
+            # The reference trainer has the identical constraint and crashes
+            # opaquely (`GanTrainer.py:238-239` unpacks two values) — fail
+            # loudly instead.
+            raise ValueError(
+                f"GAN training requires d_model='simpleD' (got "
+                f"{opt.d_model!r}); other variants exist for "
+                "checkpoint/CLI compatibility only")
+        self.gen = make_generator(opt, **gen_overrides)
+        self.disc = make_discriminator(opt, **disc_overrides)
         self.cfg = LossConfig(
             loss_g_d_factor=opt.loss_g_d_factor,
             struct_loss_factor=opt.ssim_loss_factor,
@@ -56,7 +105,7 @@ class GanTrainer:
         # ---- params init (xavier gain sqrt(2), `model_save_util.py:41-47`)
         key = jax.random.PRNGKey(opt.manual_seed)
         kg, kd = jax.random.split(key)
-        size = P.INPUT_SIZE
+        size = self.input_size
         g_vars = jax.jit(self.gen.init)(
             kg, jnp.zeros((1, size, size, opt.input_dim)))
         d_vars = jax.jit(self.disc.init)(
@@ -71,22 +120,23 @@ class GanTrainer:
                     ldr_glob=os.path.join(opt.data_root_ldr, "*.npy"),
                     lambda_table=LambdaTable(opt.f_train_dict_path,
                                              opt.factor_coeff),
-                    normalization=opt.normalization)
+                    normalization=opt.normalization,
+                    size=self.input_size)
             else:
-                source = SyntheticDataSource()
+                source = SyntheticDataSource(size=self.input_size)
         self.pipeline = TrainPipeline(source, opt.batch_size,
                                       seed=opt.manual_seed)
 
-        # ---- mesh: shard the batch if it divides the device count
+        # ---- mesh over the validated data_parallel device count
         self.mesh = None
-        if use_mesh:
-            n_dev = len(jax.devices())
-            if n_dev > 1 and opt.batch_size % n_dev == 0:
-                self.mesh = pmesh.get_mesh()
-                self.state = pmesh.replicate_tree(self.state, self.mesh)
+        if self._n_dp > 1:
+            self.mesh = pmesh.get_mesh(self._n_dp)
+            self.state = pmesh.replicate_tree(self.state, self.mesh)
 
         self.logger = MetricsLogger(opt.output_dir)
         self.rng = jax.random.PRNGKey(opt.manual_seed + 1)
+        # slider-mode weight sampling (`GanTrainer.py:177-178`)
+        self._d_weight_rng = np.random.default_rng(opt.manual_seed + 2)
         if opt.compute_dtype == "bfloat16":
             # fast-matmul training: conv/matmul inputs truncated to bf16
             jax.config.update("jax_default_matmul_precision", "bfloat16")
@@ -128,6 +178,7 @@ class GanTrainer:
         t0 = time.time()
         for it, batch in enumerate(self.pipeline.epoch(epoch), start=1):
             self.num_iter += 1
+            batch = self._maybe_add_weight_channel(batch, pretrain)
             self.rng, step_rng = jax.random.split(self.rng)
             self.state, logs = self.train_step(
                 self.state, self._put(batch), step_rng, g_lr, d_lr,
@@ -138,6 +189,19 @@ class GanTrainer:
                                 sec_per_step=(time.time() - t0) / it)
             if not pretrain and it % summary_every == 0:
                 self.print_epoch_summary(epoch, it, logs)
+
+    def _maybe_add_weight_channel(self, batch, pretrain: bool):
+        """Slider (manual_d_training) mode: append a constant weight channel
+        to the HDR input, re-sampled U(0,1) per iteration unless
+        d_weight_mul_mode == 'single' (`GanTrainer.py:177-178, 293-299`).
+        The losses and struct target consume channel 0 only."""
+        if not self.opt.manual_d_training or pretrain:
+            return batch
+        w = (1.0 if self.opt.d_weight_mul_mode == "single"
+             else float(self._d_weight_rng.random()))
+        hdr = batch["hdr"]
+        wc = np.full_like(hdr, w)
+        return dict(batch, hdr=np.concatenate([hdr, wc], axis=-1))
 
     def print_epoch_summary(self, epoch: int, epoch_iter: int, logs):
         """1/4-epoch hook (`GanTrainer.py:520-544`): console summary, eval
@@ -162,12 +226,14 @@ class GanTrainer:
         rng = np.random.default_rng(epoch)
         items = [self.pipeline.source.sample(rng) for _ in range(2)]
         batch = {k: np.stack([it[k] for it in items]) for k in items[0]}
+        if self.opt.manual_d_training:
+            batch = self._maybe_add_weight_channel(batch, pretrain=False)
         hdr = jnp.asarray(batch["hdr"][:, 0])
         fake, _ = jax.jit(self.gen.apply)(
             {"params": self._generator_params()}, hdr)
         images, titles = [], []
         for i in range(hdr.shape[0]):
-            images += [np.asarray(hdr[i]), np.asarray(fake[i]),
+            images += [np.asarray(hdr[i][..., :1]), np.asarray(fake[i]),
                        batch["ldr_pos"][i, 0]]
             titles += ["hdr input", "fake", "ldr real"]
         out_dir = os.path.join(self.opt.output_dir, P.RESULTS_PATH,
