@@ -80,10 +80,16 @@ def measure_tpu_fps() -> float:
     return CALLS * FRAMES_PER_CALL / dt
 
 
-def measure_video_fps(frames: int = 6) -> float:
-    """Video TMO: a 6-frame 1080p scene through the 5-D tiler with the
+def measure_video_fps(frames: int = 6, scenes_per_call: int = 2) -> float:
+    """Video TMO: 6-frame 1080p scenes through the 5-D tiler with the
     temporal recurrence (`model_save_util.py:488-565` +
-    `run_model_on_video` equivalent), bf16, scalar-fetch synced."""
+    `run_model_on_video` equivalent), bf16, scalar-fetch synced.
+
+    Two scenes are batched per dispatch (`TileEngine.run_videos`): the
+    recurrence serializes frames within a scene, capping the per-frame conv
+    batch at 60 tiles; a second independent scene doubles the batch to 120
+    (the depth the image path also needs for MXU utilization).  Calls are
+    double-buffered, matching the image measurement."""
     import jax
     import jax.numpy as jnp
     from uncltmo_tpu.inference.engine import TileEngine
@@ -93,22 +99,28 @@ def measure_video_fps(frames: int = 6) -> float:
     variables = jax.jit(model.init)(jax.random.PRNGKey(0),
                                     jnp.zeros((1, 256, 256, 1)))
     engine = TileEngine(model, variables, tile=256, overlap=64,
-                        chunk=12, dtype=jnp.bfloat16)
+                        chunk=60, dtype=jnp.bfloat16)
     rng = np.random.default_rng(1)
-    scenes = [jnp.asarray(rng.random((frames, PAD_H, PAD_W, 1), np.float32))
-              for _ in range(2)]
+    batches = [jnp.asarray(
+        rng.random((scenes_per_call, frames, PAD_H, PAD_W, 1), np.float32))
+        for _ in range(2)]
 
-    def run(scene):
-        return float(jnp.sum(engine.run_video(scene)))
+    def run(batch):
+        return jnp.sum(engine.run_videos(batch))
 
     for i in range(2):
-        run(scenes[i % 2])
+        float(run(batches[i % 2]))
     calls = 4
+    pending = []
     t0 = time.perf_counter()
     for i in range(calls):
-        run(scenes[i % 2])
+        pending.append(run(batches[i % 2]))
+        if len(pending) >= 2:
+            float(pending.pop(0))
+    for s in pending:
+        float(s)
     dt = time.perf_counter() - t0
-    return calls * frames / dt
+    return calls * scenes_per_call * frames / dt
 
 
 def measure_train_ms_per_step(batch: int = 8, steps: int = 6) -> float:

@@ -76,7 +76,8 @@ def cmd_warp(args):
 def cmd_fid(args):
     from uncltmo_tpu.metrics.fid import calculate_fid_given_paths
     fid = calculate_fid_given_paths([args.real_dir, args.fake_dir],
-                                    batch_size=args.batch_size, dims=768)
+                                    batch_size=args.batch_size, dims=768,
+                                    small_dset=bool(args.small_dset))
     print(f"FID: {fid:.4f}")
     _save(args.output, {"fid": fid})
 
@@ -115,6 +116,8 @@ def main(argv=None):
     f.add_argument("--real_dir", required=True)
     f.add_argument("--fake_dir", required=True)
     f.add_argument("--batch_size", type=int, default=20)
+    f.add_argument("--small_dset", type=int, default=0,
+                   help="use the fid_score_small_dset.py protocol variant")
     f.add_argument("--output", default="")
     b = sub.add_parser("btmqi")
     b.add_argument("--ldr_dir", required=True)

@@ -107,6 +107,29 @@ def test_video_engine_small():
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_multi_scene_video_batching_matches_per_scene():
+    """`run_videos` (scene-batched serving path) must equal `run_video`
+    scene by scene: batching tiles across scenes only deepens the conv
+    batch, it must not mix recurrent carries between scenes."""
+    import jax
+    from uncltmo_tpu.inference.engine import TileEngine
+    from uncltmo_tpu.models.unet import UNetTMO
+
+    model = UNetTMO()
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                    jnp.zeros((1, 256, 256, 1)))
+    eng = TileEngine(model, variables, chunk=4)
+    scenes = jnp.asarray(
+        np.random.default_rng(3).random((2, 2, 272, 272, 1))
+        .astype(np.float32))
+    batched = eng.run_videos(scenes)
+    assert batched.shape == (2, 2, 272, 272, 1)
+    for s in range(2):
+        single = eng.run_video(scenes[s])
+        np.testing.assert_allclose(np.asarray(batched[s]),
+                                   np.asarray(single), atol=1e-5)
+
+
 def test_video_cli_end_to_end(tmp_path, rng):
     """Synthetic 2-frame scene through the full video CLI path."""
     import shutil

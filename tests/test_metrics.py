@@ -46,6 +46,50 @@ def test_fid_patch_vector_protocol(rng):
     np.testing.assert_array_equal(v[63], acts[0, 7, 7])
 
 
+def test_fid_small_dset_variant(tmp_path, rng):
+    """`fid_score_small_dset.py` protocol: the REAL side is min/max
+    stretched (`:117-118`), the fake side untouched — the inverse of the
+    main protocol's fake-side mean shift (`fid_score.py:135-141`)."""
+    import cv2
+    from uncltmo_tpu.metrics.fid import (calculate_fid_given_paths,
+                                         load_fid_image)
+    im = (rng.random((64, 64, 3)) * 200 + 20).astype(np.uint8)
+    p = tmp_path / "im.png"
+    cv2.imwrite(str(p), im)
+
+    main_fake = load_fid_image(str(p), fake_side=True)
+    assert main_fake.mean() == pytest.approx(
+        0.2 * load_fid_image(str(p), False).mean() + 0.8 * 0.45, abs=0.02)
+    sd_fake = load_fid_image(str(p), fake_side=True, small_dset=True)
+    np.testing.assert_array_equal(sd_fake, load_fid_image(str(p), False))
+    sd_real = load_fid_image(str(p), fake_side=False, small_dset=True)
+    base = load_fid_image(str(p), False)
+    expect = np.clip((base - base.min()) / base.max() * 1.05 - 0.025, 0, 1)
+    np.testing.assert_allclose(sd_real, expect, atol=1e-6)
+
+    # end-to-end with a toy extractor: identical dirs under small_dset give
+    # a small but NONZERO FID (the real side is stretched, the fake is not)
+    real_d, fake_d = tmp_path / "real", tmp_path / "fake"
+    real_d.mkdir(), fake_d.mkdir()
+    for i in range(4):
+        frame = (rng.random((64, 64, 3)) * 200 + 20).astype(np.uint8)
+        cv2.imwrite(str(real_d / f"{i}.png"), frame)
+        cv2.imwrite(str(fake_d / f"{i}.png"), frame)
+
+    def extractor(batch):
+        b = batch[:, :296, :296]                 # 299^2 -> 8x37 blocks
+        pooled = b.reshape(b.shape[0], 8, 37, 8, 37, 3).mean(axis=(2, 4))
+        return np.concatenate([pooled, pooled * pooled], axis=-1)
+
+    d_small = calculate_fid_given_paths([str(real_d), str(fake_d)],
+                                        extractor=extractor, small_dset=True)
+    assert d_small > 1e-6
+    d_main = calculate_fid_given_paths([str(real_d), str(fake_d)],
+                                       extractor=extractor)
+    assert d_main > 1e-6          # main shifts the fake side instead
+    assert np.isfinite(d_small) and np.isfinite(d_main)
+
+
 def test_btmqi_sanity(rng):
     from uncltmo_tpu.metrics.btmqi import btmqi
     good = np.clip(rng.normal(0.45, 0.2, (256, 256)), 0, 1)

@@ -43,6 +43,33 @@ def test_trainer_one_epoch(tmp_path):
     assert int(trainer2.state.step) == 2
 
 
+def test_grad_flow_logs_and_diagnostic_plots(tmp_path):
+    """The fused step must emit per-layer mean-|grad| scalars, and the
+    1/4-epoch hook must render grad-flow + accuracy plots
+    (reference `plot_util.py:130-146`, `:48-60`)."""
+    opt = Options(batch_size=2, num_epochs=1, d_pretrain_epochs=0,
+                  G_lr=1e-5, D_lr=1.5e-5, lr_decay_step=50,
+                  loss_g_d_factor=0.1, pyramid_weight_list="0.2,0.4,0.6",
+                  adv_weight_list="1,1,0", log_every=1,
+                  result_dir_prefix=str(tmp_path / "run"))
+    opt.output_dir = str(tmp_path / "run")
+    os.makedirs(opt.output_dir, exist_ok=True)
+    trainer = GanTrainer(opt, video=False,
+                         source=SyntheticDataSource(n_items=2),
+                         use_mesh=False)
+    trainer.train()
+    recs = [json.loads(l) for l in
+            open(os.path.join(opt.output_dir, "train_metrics.jsonl"))]
+    grad_keys = [k for k in recs[-1] if k.startswith("gradG/")]
+    assert any("inc" in k for k in grad_keys)
+    assert any("gcn" in k for k in grad_keys)
+    assert all(np.isfinite(recs[-1][k]) for k in grad_keys)
+    loss_dir = os.path.join(opt.output_dir, "loss_plot")
+    files = os.listdir(loss_dir)
+    assert any(f.startswith("grad_flow_") for f in files)
+    assert any(f.startswith("accuracy") for f in files)
+
+
 def test_trainer_rejects_bad_data_parallel(tmp_path):
     """An explicit data_parallel request must fail loudly on mismatch."""
     import jax

@@ -12,6 +12,7 @@ which feeds each spatial tile the full frame sequence.
 """
 from __future__ import annotations
 
+import functools
 from typing import Dict, Tuple
 
 import jax
@@ -31,16 +32,53 @@ def _scatter_blend(weighted, origins, out_shape):
 
     weighted: (N, ..., t, t) with leading tile axis; origins: (N, 2) numpy.
     out_shape: canvas shape whose last two dims are (H, W).
+
+    Tiles are placed with dynamic_update_slice (a batched scatter-add was
+    measured 4.7x SLOWER end-to-end on the axon TPU backend — XLA lowers it
+    as a general scatter), but a single accumulation canvas would serialize
+    all N read-modify-writes into one dependency chain.  Greedy coloring
+    over exact tile-rectangle overlaps splits the tiles into ~4 groups of
+    mutually disjoint tiles; each group accumulates into its own canvas —
+    independent chains of ~N/4 that XLA can interleave — summed at the end.
     """
     t = weighted.shape[-1]
-    result = jnp.zeros(out_shape, jnp.float32)
+
+    def overlaps(a, b):
+        return (abs(int(a[0]) - int(b[0])) < t and
+                abs(int(a[1]) - int(b[1])) < t)
+
+    groups: list = []          # list of lists of tile indices
     for i in range(origins.shape[0]):
-        oy, ox = int(origins[i, 0]), int(origins[i, 1])
-        idx = (0,) * (len(out_shape) - 2) + (oy, ox)
-        sizes = out_shape[:-2] + (t, t)
-        cur = jax.lax.dynamic_slice(result, idx, sizes)
-        result = jax.lax.dynamic_update_slice(result, cur + weighted[i], idx)
-    return result
+        for g in groups:
+            if not any(overlaps(origins[i], origins[j]) for j in g):
+                g.append(i)
+                break
+        else:
+            groups.append([i])
+    canvases = []
+    for idxs in groups:
+        result = jnp.zeros(out_shape, jnp.float32)
+        for i in idxs:
+            oy, ox = int(origins[i, 0]), int(origins[i, 1])
+            idx = (0,) * (len(out_shape) - 2) + (oy, ox)
+            sizes = out_shape[:-2] + (t, t)
+            cur = jax.lax.dynamic_slice(result, idx, sizes)
+            result = jax.lax.dynamic_update_slice(result, cur + weighted[i],
+                                                  idx)
+        canvases.append(result)
+    return functools.reduce(jnp.add, canvases)
+
+
+def _gather_tiles(image, origins, t):
+    """(..., H, W, C) -> (N, ..., t, t, C) as independent dynamic_slices
+    (a single batched gather was measured far slower on this backend)."""
+    nd = image.ndim
+    lead = image.shape[:-3]
+    return jnp.stack([
+        jax.lax.dynamic_slice(
+            image, (0,) * len(lead) + (int(oy), int(ox), 0),
+            lead + (t, t, image.shape[-1]))
+        for oy, ox in origins])
 
 
 class TileEngine:
@@ -99,11 +137,7 @@ class TileEngine:
 
         def run(variables, image_hw1):
             masks = jnp.asarray(masks_np)
-            tiles = jnp.stack([
-                jax.lax.dynamic_slice(
-                    image_hw1, (int(oy), int(ox), 0),
-                    (t, t, image_hw1.shape[-1]))
-                for oy, ox in origins])                      # (N, t, t, C)
+            tiles = _gather_tiles(image_hw1, origins, t)     # (N, t, t, C)
             tiles = jnp.pad(tiles, ((0, n_pad - n), (0, 0), (0, 0), (0, 0)))
             tiles = tiles.reshape(n_pad // chunk, chunk, t, t, -1)
             tiles = self._shard_tiles(tiles)
@@ -145,10 +179,7 @@ class TileEngine:
 
         def run(variables, frames_ghw1):
             masks = jnp.asarray(masks_np)
-            tiles = jnp.stack([
-                jax.lax.dynamic_slice(frames_ghw1, (0, int(oy), int(ox), 0),
-                                      (group, t, t, frames_ghw1.shape[-1]))
-                for oy, ox in origins])                  # (N, g, t, t, C)
+            tiles = _gather_tiles(frames_ghw1, origins, t)  # (N, g, t, t, C)
             tiles = jnp.swapaxes(tiles, 0, 1).reshape(group * n, t, t, -1)
             tiles = self._shard_tiles(tiles[None])[0]
             out, _ = model.apply(variables, tiles.astype(dtype))
@@ -205,11 +236,7 @@ class TileEngine:
 
         def run(variables, video_thw1):
             masks = jnp.asarray(masks_np)
-            tiles = jnp.stack([
-                jax.lax.dynamic_slice(
-                    video_thw1, (0, int(oy), int(ox), 0),
-                    (tn, t, t, video_thw1.shape[-1]))
-                for oy, ox in origins])                      # (N, T, t, t, C)
+            tiles = _gather_tiles(video_thw1, origins, t)    # (N, T, t, t, C)
             tiles = jnp.pad(
                 tiles, ((0, n_pad - n), (0, 0), (0, 0), (0, 0), (0, 0)))
             tiles = tiles.reshape(n_pad // chunk, chunk, tn, t, t, -1)
@@ -236,3 +263,50 @@ class TileEngine:
         if key not in self._video_fns:
             self._video_fns[key] = self._build_video_fn(tn, h, w)
         return self._video_fns[key](self.variables, video_thw1)
+
+    # ------------------------------------------------------------------
+    def _scenes_core(self, s: int, tn: int, h: int, w: int):
+        """Multi-scene video pipeline: (variables, (S,T,H,W,1)) ->
+        (S,T,H,W,1).
+
+        The temporal recurrence serializes frames *within* a scene, so a
+        single 1080p scene caps the per-frame conv batch at its tile count
+        (60) — about half the batch depth the convs need to fill the MXU.
+        Independent scenes have independent carries, so their tiles share
+        one conv batch: S scenes run S*N tiles per frame step, the same
+        trick `_images_core` uses for frame groups."""
+        plan = tile_plan(h, w, self.tile, self.overlap)
+        origins = plan.origins
+        masks_np = plan.masks
+        n = origins.shape[0]
+        t = self.tile
+        model, dtype = self.model, self.dtype
+
+        def run(variables, scenes_sthw1):
+            masks = jnp.asarray(masks_np)
+            tiles = _gather_tiles(scenes_sthw1, origins, t)
+            #                                            (N, S, T, t, t, C)
+            tiles = jnp.swapaxes(tiles, 0, 1)            # (S, N, T, t, t, C)
+            tiles = tiles.reshape(s * n, tn, t, t, -1)
+            tiles = self._shard_tiles(tiles[None])[0]
+            outs, _ = video_apply(model, variables, tiles.astype(dtype),
+                                  with_features=False)
+            outs = outs.astype(jnp.float32).reshape(s, n, tn, t, t)
+            weighted = outs * masks[None, :, None]
+            blended = jax.vmap(
+                lambda wt: _scatter_blend(wt, origins, (tn, h, w)))(weighted)
+            return blended[..., None]
+
+        return run
+
+    def run_videos(self, scenes_sthw1: jnp.ndarray) -> jnp.ndarray:
+        """(S, T, H, W, 1) padded log-luma scenes -> (S, T, H, W, 1).
+
+        Throughput path for serving: batches the tile axis across scenes
+        so each recurrent frame step runs S*N tiles in one conv batch."""
+        s, tn, h, w = (int(scenes_sthw1.shape[0]), int(scenes_sthw1.shape[1]),
+                       int(scenes_sthw1.shape[2]), int(scenes_sthw1.shape[3]))
+        key = ("scenes", s, tn, h, w)
+        if key not in self._video_fns:
+            self._video_fns[key] = jax.jit(self._scenes_core(s, tn, h, w))
+        return self._video_fns[key](self.variables, scenes_sthw1)

@@ -29,14 +29,23 @@ from uncltmo_tpu.utils.io import read_ldr_image
 MAX_IMAGES = 900
 
 
-def load_fid_image(path: str, fake_side: bool) -> np.ndarray:
-    """Crop 10-px border, resize to 299^2; fakes mean-shifted toward 0.45
-    with alpha=0.8 (`fid_score.py:65-81`, `:135-141`)."""
+def load_fid_image(path: str, fake_side: bool,
+                   small_dset: bool = False) -> np.ndarray:
+    """Crop 10-px border, resize to 299^2.
+
+    Main protocol (`fid_score.py:65-81`, `:135-141`): fakes mean-shifted
+    toward 0.45 with alpha=0.8.  Small-dset protocol
+    (`fid_score_small_dset.py:55-119`): no fake shift; instead the REAL side
+    is min/max-stretched `((im - min) / max) * 1.05 - 0.025`, clipped."""
     import cv2
     im = read_ldr_image(path)
     im = im[10:-10, 10:-10]
     im = cv2.resize(im, (299, 299), interpolation=cv2.INTER_AREA)
-    if fake_side:
+    if small_dset:
+        if not fake_side:
+            im = ((im - im.min()) / im.max()) * 1.05 - 0.025
+            im = np.clip(im, 0.0, 1.0)
+    elif fake_side:
         alpha = 0.8
         im = im + alpha * (0.45 - im.mean())
         im = np.clip(im, 0.0, 1.0)
@@ -104,14 +113,22 @@ def make_torch_inception_extractor(weights_path: Optional[str] = None,
 
 
 def path_statistics(path: str, extractor: Callable, fake_side: bool,
-                    batch_size: int = 20) -> Tuple[np.ndarray, np.ndarray]:
+                    batch_size: int = 20, small_dset: bool = False,
+                    shuffle_seed: Optional[int] = 10
+                    ) -> Tuple[np.ndarray, np.ndarray]:
     files = sorted(f for f in os.listdir(path)
                    if f.lower().endswith((".png", ".jpg", ".jpeg")))
+    if shuffle_seed is not None and not small_dset:
+        # the main protocol shuffles with Random(10) before the 900-image
+        # cap (`fid_score.py:258-261`); small-dset takes files in order
+        import random
+        random.Random(shuffle_seed).shuffle(files)
     files = files[:MAX_IMAGES]
     all_vecs: List[np.ndarray] = []
     for i in range(0, len(files), batch_size):
-        batch = np.stack([load_fid_image(os.path.join(path, f), fake_side)
-                          for f in files[i:i + batch_size]])
+        batch = np.stack([
+            load_fid_image(os.path.join(path, f), fake_side, small_dset)
+            for f in files[i:i + batch_size]])
         acts = extractor(batch)
         all_vecs.append(activations_to_patch_vectors(acts))
     return activation_statistics(np.concatenate(all_vecs, axis=0))
@@ -119,9 +136,12 @@ def path_statistics(path: str, extractor: Callable, fake_side: bool,
 
 def calculate_fid_given_paths(paths, batch_size: int = 20, cuda: bool = False,
                               dims: int = 768,
-                              extractor: Optional[Callable] = None) -> float:
+                              extractor: Optional[Callable] = None,
+                              small_dset: bool = False) -> float:
     """Reference CLI-compatible entry (`fid_score.py:267-291`):
-    paths = [real_dir, fake_dir]."""
+    paths = [real_dir, fake_dir].  `small_dset=True` selects the
+    `fid_score_small_dset.py` protocol variant (real-side stretch, no fake
+    mean shift, no file shuffle)."""
     if extractor is None:
         extractor = make_torch_inception_extractor(dims=dims)
     if extractor is None:
@@ -131,7 +151,7 @@ def calculate_fid_given_paths(paths, batch_size: int = 20, cuda: bool = False,
             "fid/inception.py:13 in the reference).  Pass extractor= to use "
             "a custom feature model.")
     mu1, s1 = path_statistics(paths[0], extractor, fake_side=False,
-                              batch_size=batch_size)
+                              batch_size=batch_size, small_dset=small_dset)
     mu2, s2 = path_statistics(paths[1], extractor, fake_side=True,
-                              batch_size=batch_size)
+                              batch_size=batch_size, small_dset=small_dset)
     return frechet_distance(mu1, s1, mu2, s2)

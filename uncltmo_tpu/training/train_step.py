@@ -179,6 +179,13 @@ def make_train_step(gen: UNetTMO, disc: SimpleDiscriminator,
             state.params_G, grads_g, state.opt_state_G, g_lr)
         logs["errG_d"] = err_g
         logs["errG_struct"] = err_struct
+        # per-top-level-layer mean |grad| — the grad-flow diagnostic
+        # (`plot_util.py:130-146`); a handful of scalars, fused into the step
+        for top, sub in grads_g.items():
+            leaves = jax.tree_util.tree_leaves(sub)
+            logs[f"gradG/{top}"] = sum(
+                jnp.sum(jnp.abs(l)) for l in leaves) / sum(
+                l.size for l in leaves)
 
         new_state = state.replace(
             params_G=params_G, params_D=params_D,

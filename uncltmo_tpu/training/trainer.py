@@ -215,9 +215,27 @@ class GanTrainer:
         ckpt.save_train_state(
             os.path.join(self.opt.output_dir, P.MODELS_SAVE_PATH),
             epoch, epoch_iter, self.state)
-        self.logger.plot(os.path.join(self.opt.output_dir, P.LOSS_PATH),
-                         f"summary epoch_=_{epoch}")
+        loss_dir = os.path.join(self.opt.output_dir, P.LOSS_PATH)
+        self.logger.plot(loss_dir, f"summary epoch_=_{epoch}")
+        self._plot_diagnostics(loss_dir, epoch, logs)
         self._save_sample_grid(epoch, epoch_iter)
+
+    def _plot_diagnostics(self, loss_dir: str, epoch: int, logs):
+        """Accuracy curves + grad-flow bars (reference
+        `plot_util.plot_general_accuracy` / `plot_grad_flow`)."""
+        from uncltmo_tpu.utils.logging import (plot_general_accuracy,
+                                               plot_grad_flow)
+        hist = self.logger.history
+        if hist.get("accDfake") and hist.get("accDreal"):
+            plot_general_accuracy(
+                [v for _, v in hist.get("accG", [])],
+                [v for _, v in hist["accDfake"]],
+                [v for _, v in hist["accDreal"]],
+                f"accuracy epoch_=_{epoch}", loss_dir)
+        grad_logs = {k.split("/", 1)[1]: float(v) for k, v in logs.items()
+                     if k.startswith("gradG/")}
+        if grad_logs:
+            plot_grad_flow(grad_logs, loss_dir, f"epoch{epoch}")
 
     def _save_sample_grid(self, epoch: int, epoch_iter: int):
         """Sample grid of (hdr input, fake, ldr pos) like the reference's

@@ -57,6 +57,72 @@ class MetricsLogger:
         self._f.close()
 
 
+def plot_grad_flow(grads, out_dir: str, tag: str) -> Optional[str]:
+    """Per-layer mean |grad| bar plot (reference `plot_util.plot_grad_flow`,
+    `plot_util.py:130-146` — dead code there; live here).
+
+    grads: a flax grads pytree (e.g. the G grads); bias leaves are skipped,
+    matching the reference's `"bias" not in n` filter."""
+    import numpy as np
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except Exception:
+        return None
+    import jax
+
+    flat = jax.tree_util.tree_flatten_with_path(grads)[0]
+    layers, ave_grads = [], []
+    for path, leaf in flat:
+        name = "/".join(getattr(p, "key", str(p)) for p in path)
+        if "bias" in name:
+            continue
+        layers.append(name)
+        ave_grads.append(float(np.abs(np.asarray(leaf)).mean()))
+    if not layers:
+        return None
+    fig, ax = plt.subplots(figsize=(max(6, 0.35 * len(layers)), 5))
+    ax.plot(ave_grads, alpha=0.3, color="b")
+    ax.hlines(0, 0, len(ave_grads) + 1, linewidth=1, color="k")
+    ax.set_xticks(range(len(layers)))
+    ax.set_xticklabels(layers, rotation="vertical", fontsize=6)
+    ax.set_xlim(0, len(ave_grads))
+    ax.set_xlabel("Layers")
+    ax.set_ylabel("average gradient")
+    ax.set_title("Gradient flow")
+    ax.grid(True)
+    os.makedirs(out_dir, exist_ok=True)
+    out = os.path.join(out_dir, f"grad_flow_{tag}.png")
+    fig.savefig(out, bbox_inches="tight")
+    plt.close(fig)
+    return out
+
+
+def plot_general_accuracy(acc_G, acc_D_fake, acc_D_real, title: str,
+                          path: str) -> Optional[str]:
+    """D/G accuracy curves (reference `plot_util.plot_general_accuracy`,
+    `plot_util.py:48-60`; acc_G is accepted but not drawn there — same
+    here)."""
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except Exception:
+        return None
+    fig, ax = plt.subplots()
+    ax.plot(range(len(acc_D_fake)), acc_D_fake, "-r", label="acc D fake")
+    ax.plot(range(len(acc_D_real)), acc_D_real, "-b", label="acc D real")
+    ax.set_xlabel("n iteration")
+    ax.legend(loc="upper left")
+    ax.set_title(title)
+    os.makedirs(path, exist_ok=True)
+    out = os.path.join(path, title.replace(" ", "_") + ".png")
+    fig.savefig(out)
+    plt.close(fig)
+    return out
+
+
 def print_epoch_losses_summary(epoch: int, num_epochs: int,
                                logs: Dict[str, float]) -> None:
     """Console one-liner (reference `printer.print_epoch_losses_summary`)."""
