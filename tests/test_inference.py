@@ -107,6 +107,26 @@ def test_video_engine_small():
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_bf16_fast_path_close_to_f32():
+    """The bf16 serving path (params cast once, bf16 end-to-end) must stay
+    within bf16 rounding of the strict float32 engine on the same image."""
+    import jax
+    from uncltmo_tpu.inference.engine import TileEngine
+    from uncltmo_tpu.models.unet import UNetTMO
+
+    model = UNetTMO()
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                    jnp.zeros((1, 256, 256, 1)))
+    img = jnp.asarray(
+        np.random.default_rng(7).random((320, 320, 1)).astype(np.float32))
+    out32 = TileEngine(model, variables, chunk=4).run_image(img)
+    out16 = TileEngine(model, variables, chunk=4,
+                       dtype=jnp.bfloat16).run_image(img)
+    # sigmoid-range output: bf16 has ~2-3 significant decimal digits
+    assert float(jnp.max(jnp.abs(out32 - out16))) < 0.02
+    assert float(jnp.mean(jnp.abs(out32 - out16))) < 0.004
+
+
 def test_multi_scene_video_batching_matches_per_scene():
     """`run_videos` (scene-batched serving path) must equal `run_video`
     scene by scene: batching tiles across scenes only deepens the conv

@@ -99,11 +99,23 @@ class TileEngine:
                  overlap: int = 64, chunk: int = 16, dtype=jnp.float32,
                  mesh=None):
         self.model = model
-        self.variables = variables
         self.tile = tile
         self.overlap = overlap
         self.chunk = chunk
         self.dtype = dtype
+        # In the fast (bfloat16) path the params are cast once up front:
+        # with float32 params XLA keeps every conv's output in float32 and
+        # materializes it to HBM before the bias/relu fusion re-truncates —
+        # measured ~25% of device time at 1080p.  bf16 params make the
+        # whole forward bf16 end to end (MXU still accumulates in f32).
+        # Strict-parity runs pass dtype=float32 and are untouched.
+        if dtype == jnp.bfloat16:
+            self.variables = jax.tree_util.tree_map(
+                lambda a: a.astype(jnp.bfloat16)
+                if hasattr(a, "dtype") and a.dtype == jnp.float32 else a,
+                variables)
+        else:
+            self.variables = variables
         # optional jax.sharding.Mesh with a 'data' axis: the tile batch is
         # sharded across devices (tiles are independent until the blend,
         # which XLA resolves with an all-gather over ICI)

@@ -49,15 +49,20 @@ def back_to_color(im_hdr: jnp.ndarray, fake_luma: jnp.ndarray) -> jnp.ndarray:
     return norm_im * fake_luma
 
 
-def percentiles_bisect(x: jnp.ndarray, qs, iters: int = 48) -> jnp.ndarray:
+def percentiles_bisect(x: jnp.ndarray, qs, iters: int = 48,
+                       k_way: int = 1) -> jnp.ndarray:
     """Exact percentiles (np.percentile 'linear' semantics) WITHOUT sorting.
 
     A full-image jnp.sort costs more than the whole tone-mapping forward on
     TPU (~28 ms at 2 MPix); instead, the order statistics are found by
-    value-space bisection on count(x <= v) — `iters` fused compare+reduce
-    passes, each pure VPU streaming work.  Converges below float32 spacing
-    for any realistic dynamic range; validated bit-comparable to
-    np.percentile in tests.
+    K-way value-space section search on count(x <= v): `iters` passes each
+    testing `k_way` candidate values per rank, shrinking the interval by
+    (k_way+1)x per pass.  Defaults give range/2^48 — below float32 spacing
+    for any realistic range; validated bit-comparable to np.percentile in
+    tests.  k_way=1 measured fastest on TPU: the count (compare + s32
+    reduce over the image) is VPU-compute-bound at ~17 us per extra
+    candidate per pass, so wider sections do NOT pay for the fewer passes
+    (k=1/48: 6.1 ms, k=3/24: 6.3 ms, k=15/12: 9.6 ms at 2x2.1 MPix).
 
     x: any shape; qs: sequence of percentiles in [0, 100].
     Returns (len(qs),) values.
@@ -75,14 +80,18 @@ def percentiles_bisect(x: jnp.ndarray, qs, iters: int = 48) -> jnp.ndarray:
     hi0 = flat.max()
     lo = jnp.full(ranks.shape, lo0, x.dtype)
     hi = jnp.full(ranks.shape, hi0, x.dtype)
+    fr = (jnp.arange(1, k_way + 1, dtype=x.dtype) / (k_way + 1))  # (K,)
 
     def body(_, carry):
         lo, hi = carry
-        mid = (lo + hi) * 0.5
-        # counts: for each candidate, #elements <= mid  (one fused pass)
-        cnt = jnp.sum(flat[None, :] <= mid[:, None], axis=1)
-        take_hi = cnt >= ranks + 1
-        return (jnp.where(take_hi, lo, mid), jnp.where(take_hi, mid, hi))
+        mids = lo[:, None] + fr[None, :] * (hi - lo)[:, None]     # (2Q, K)
+        # counts: #elements <= mid per candidate (one fused HBM pass)
+        cnt = jnp.sum(flat[None, None, :] <= mids[:, :, None], axis=-1)
+        below = cnt < ranks[:, None] + 1                          # (2Q, K)
+        # value lies in the segment after the last mid with cnt < rank+1
+        new_lo = jnp.max(jnp.where(below, mids, lo[:, None]), axis=1)
+        new_hi = jnp.min(jnp.where(below, hi[:, None], mids), axis=1)
+        return new_lo, new_hi
 
     lo, hi = jax.lax.fori_loop(0, iters, body, (lo, hi))
     vals = hi                                                     # (2Q,)
@@ -108,4 +117,7 @@ def percentile_clamp_stretch(fake: jnp.ndarray, lo: float = 0.5,
     """Clamp to [P_lo, P_hi] percentiles then min-max stretch to [0, 1]."""
     min_p, max_p = _two_percentiles(fake, lo, hi)
     fake2 = jnp.clip(fake, min_p, max_p)
-    return (fake2 - fake2.min()) / (fake2.max() - fake2.min())
+    # fake2.min() == min_p and fake2.max() == max_p identically (the
+    # interpolated percentile lies between order statistics, so at least one
+    # element clips to each bound) — reusing them saves two full HBM passes
+    return (fake2 - min_p) / (max_p - min_p)
