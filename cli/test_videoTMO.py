@@ -34,6 +34,10 @@ def get_args(argv=None):
     parser.add_argument("--overlap", type=int, default=64)
     parser.add_argument("--dtype", type=str, default="float32",
                         choices=["float32", "bfloat16"])
+    parser.add_argument("--scene_batch", type=int, default=1,
+                        help="batch this many same-shape scenes per device "
+                             "dispatch (serving throughput mode; 1 = "
+                             "reference-sequential)")
     return parser.parse_args(argv)
 
 
@@ -64,7 +68,8 @@ def run_trained_model(args):
     runner = InferenceRunner(model_params, net_path, video=True,
                              overlap=args.overlap, dtype=dtype)
     runner.run_on_video_path(args.input_images_path, args.output_path,
-                             args.f_factor_path)
+                             args.f_factor_path,
+                             scene_batch=args.scene_batch)
     print("tone mapping took [%.2f] seconds" % (time.time() - start))
 
 

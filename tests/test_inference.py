@@ -190,3 +190,56 @@ def test_video_cli_end_to_end(tmp_path, rng):
     im = read_ldr_image(str(outs[0]))
     assert im.shape == (180, 300, 3)
     assert im.std() > 0.001
+
+
+def test_video_cli_scene_batch_matches_sequential(tmp_path, rng):
+    """--scene_batch 2 (serving mode) must write byte-identical PNGs to the
+    reference-sequential path for same-shape scenes."""
+    import shutil
+    import jax
+    from uncltmo_tpu.models.unet import UNetTMO
+    from uncltmo_tpu.utils.checkpoint import save_params
+    from cli.test_videoTMO import get_args, run_trained_model
+
+    model_dir = tmp_path / "model"
+    model_dir.mkdir()
+    model = UNetTMO()
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                    jnp.zeros((1, 256, 256, 1)))
+    save_params(str(model_dir / "trained_weights.msgpack"),
+                {"params_G": variables["params"]})
+    if os.path.exists(REF_SETTINGS):
+        shutil.copy(REF_SETTINGS, model_dir / "run_settings.npy")
+
+    lams = {}
+    for scene in ("scene_a", "scene_b"):
+        d = tmp_path / "scenes" / scene
+        d.mkdir(parents=True)
+        for i in range(2):
+            frame = (rng.random((140, 220, 3)).astype(np.float32) ** 2) * 700
+            np.save(d / f"{i:03d}.npy", frame)
+        lams[scene] = 40.0
+    lam_path = tmp_path / "lambdas.npy"
+    np.save(lam_path, lams)
+
+    def run(out_dir, extra):
+        run_trained_model(get_args([
+            "--model_path", str(model_dir),
+            "--input_images_path", str(tmp_path / "scenes"),
+            "--output_path", str(out_dir),
+            "--f_factor_path", str(lam_path)] + extra))
+        return {p.relative_to(out_dir): p.read_bytes()
+                for p in sorted(out_dir.rglob("*.png"))}
+
+    seq = run(tmp_path / "out_seq", [])
+    bat = run(tmp_path / "out_bat", ["--scene_batch", "2"])
+    assert set(seq) == set(bat) and len(seq) == 4
+    import cv2
+    for k in seq:
+        a = cv2.imdecode(np.frombuffer(seq[k], np.uint8), cv2.IMREAD_COLOR)
+        b = cv2.imdecode(np.frombuffer(bat[k], np.uint8), cv2.IMREAD_COLOR)
+        diff = np.abs(a.astype(int) - b.astype(int))
+        # batching only changes conv batch size; any difference is float
+        # ULP noise landing on a uint8 rounding boundary
+        assert diff.max() <= 1, f"{k}: max diff {diff.max()}"
+        assert (diff > 0).mean() < 1e-3, f"{k}: {(diff > 0).mean():.4%}"

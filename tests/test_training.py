@@ -125,6 +125,26 @@ def test_tile_engine_sharded_matches_unsharded():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
 
 
+def test_video_engine_sharded_matches_unsharded():
+    """Scene-batched video inference with the tile batch sharded over the
+    8-device mesh must equal the unsharded result (the blend's gather
+    rides the mesh collectives)."""
+    from uncltmo_tpu.inference.engine import TileEngine
+    from uncltmo_tpu.models.unet import UNetTMO
+    from uncltmo_tpu.parallel import mesh as pmesh
+
+    model = UNetTMO()
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                    jnp.zeros((1, 256, 256, 1)))
+    scenes = jnp.asarray(
+        np.random.default_rng(5).random((2, 2, 272, 272, 1))
+        .astype(np.float32))
+    ref = TileEngine(model, variables, chunk=4).run_videos(scenes)
+    mesh = pmesh.get_mesh()
+    out = TileEngine(model, variables, chunk=4, mesh=mesh).run_videos(scenes)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
 def test_train_step_video(rng):
     """Video trainer path: recurrence + per-frame feature head in the loss."""
     opt = Options(batch_size=1)

@@ -121,12 +121,9 @@ class InferenceRunner:
         return outs
 
     # ------------------------------------------------------------------
-    def run_video_scene(self, im_paths: List[str], im_names: List[str],
-                        output_path: str, f_factor_path: str,
-                        suffix: str = "_UnCLTMO") -> List[str]:
-        """`run_model_on_video` equivalent (`model_save_util.py:567-614`):
-        per-scene lambda (directory name), stacked frames through the 5-D
-        tiler with temporal recurrence, per-frame postprocess."""
+    def _load_scene(self, im_paths: List[str], f_factor_path: str):
+        """Per-scene lambda (directory name) + per-frame preprocess/pad.
+        Returns (scene, rgbs, grays, dy, dx)."""
         scene = os.path.basename(os.path.dirname(im_paths[0]))
         f_factor = self._lambda_for(f_factor_path, scene)
         rgbs, grays = [], []
@@ -138,7 +135,10 @@ class InferenceRunner:
             gray_p, dy, dx = preprocess.pad_to_unet_grid(gray)
             rgbs.append(rgb_p)
             grays.append(gray_p)
-        fakes = self.engine.run_video(jnp.stack(grays))
+        return scene, rgbs, grays, dy, dx
+
+    def _save_scene(self, scene, rgbs, fakes, dy, dx, im_names,
+                    output_path: str, suffix: str) -> List[str]:
         save_dir = os.path.join(output_path, scene)
         outs = []
         for i, name in enumerate(im_names):
@@ -147,10 +147,27 @@ class InferenceRunner:
                                        name + suffix))
         return outs
 
+    def run_video_scene(self, im_paths: List[str], im_names: List[str],
+                        output_path: str, f_factor_path: str,
+                        suffix: str = "_UnCLTMO") -> List[str]:
+        """`run_model_on_video` equivalent (`model_save_util.py:567-614`):
+        per-scene lambda (directory name), stacked frames through the 5-D
+        tiler with temporal recurrence, per-frame postprocess."""
+        scene, rgbs, grays, dy, dx = self._load_scene(im_paths,
+                                                      f_factor_path)
+        fakes = self.engine.run_video(jnp.stack(grays))
+        return self._save_scene(scene, rgbs, fakes, dy, dx, im_names,
+                                output_path, suffix)
+
     def run_on_video_path(self, input_images_path: str,
-                          output_images_path: str, f_factor_path: str
-                          ) -> List[str]:
-        outs = []
+                          output_images_path: str, f_factor_path: str,
+                          scene_batch: int = 1) -> List[str]:
+        """Tone-map every scene directory.  scene_batch > 1 enables the
+        serving throughput path: consecutive scenes with identical
+        (frames, H, W) share one conv batch via `TileEngine.run_videos`
+        (the recurrence caps the per-frame batch at one scene's tiles, so
+        a second scene roughly doubles MXU occupancy at 1080p)."""
+        scene_jobs = []
         for scene in sorted(os.listdir(input_images_path)):
             scene_dir = os.path.join(input_images_path, scene)
             if not os.path.isdir(scene_dir):
@@ -158,6 +175,29 @@ class InferenceRunner:
             names = sorted(os.listdir(scene_dir))
             im_paths = [os.path.join(scene_dir, n) for n in names]
             im_names = [os.path.splitext(n)[0] for n in names]
-            outs += self.run_video_scene(im_paths, im_names,
-                                         output_images_path, f_factor_path)
+            scene_jobs.append((im_paths, im_names))
+        outs: List[str] = []
+        if scene_batch <= 1:
+            for im_paths, im_names in scene_jobs:
+                outs += self.run_video_scene(im_paths, im_names,
+                                             output_images_path,
+                                             f_factor_path)
+            return outs
+        loaded = [(self._load_scene(p, f_factor_path), n)
+                  for p, n in scene_jobs]
+        i = 0
+        while i < len(loaded):
+            (s0, _, g0, _, _), _ = loaded[i]
+            group = [loaded[i]]
+            while (len(group) < scene_batch and i + len(group) < len(loaded)
+                   and len(loaded[i + len(group)][0][2]) == len(g0)
+                   and loaded[i + len(group)][0][2][0].shape == g0[0].shape):
+                group.append(loaded[i + len(group)])
+            stack = jnp.stack([jnp.stack(g) for (_, _, g, _, _), _ in group])
+            fakes = self.engine.run_videos(stack)
+            for s, ((scene, rgbs, _, dy, dx), im_names) in enumerate(group):
+                outs += self._save_scene(scene, rgbs, fakes[s], dy, dx,
+                                         im_names, output_images_path,
+                                         "_UnCLTMO")
+            i += len(group)
         return outs
