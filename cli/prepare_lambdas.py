@@ -23,7 +23,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from uncltmo_tpu.ops.lambda_est import fit_lambda
+from uncltmo_tpu.ops.lambda_est import fit_lambda, fit_lambda_de
 from uncltmo_tpu.utils.io import HDR_EXTENSIONS, read_hdr_image, read_ldr_image
 
 
@@ -54,7 +54,10 @@ def mode_lambdas(args, scene_mode=False):
     for key, path in paths:
         if key in res:
             continue
-        lam = fit_lambda(_gray_of(path), targets, bins=args.bins)
+        if args.optimizer == "de":
+            lam = fit_lambda_de(_gray_of(path), targets, bins=args.bins)
+        else:
+            lam = fit_lambda(_gray_of(path), targets, bins=args.bins)
         res[key] = lam
         print(f"[{key}] [{lam:.4f}]")
         np.save(args.output, res)
@@ -89,6 +92,11 @@ def main(argv=None):
     p.add_argument("--mean_hist_path", default="")
     p.add_argument("--bins", type=int, default=20)
     p.add_argument("--max_images", type=int, default=900)
+    p.add_argument("--optimizer", choices=["grid", "de"], default="grid",
+                   help="'grid': deterministic on-device sweep (default); "
+                        "'de': the reference's scipy differential "
+                        "evolution (`adaptive_lambda.py:59-60`), exact "
+                        "but ~100x slower")
     args = p.parse_args(argv)
     if args.mode == "mean_hist":
         mode_mean_hist(args)

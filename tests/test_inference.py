@@ -41,6 +41,26 @@ def test_fit_lambda_is_local_minimum(rng):
     assert ce <= cross_entropy_np(lam / 3, gray, targets, 20) + 1e-3
 
 
+@pytest.mark.skipif(not os.path.exists(MEAN_HIST), reason="no mean hist")
+def test_fit_lambda_de_agrees_with_grid(rng):
+    """The opt-in exact reference optimizer (scipy differential evolution,
+    `adaptive_lambda.py:59-60`) and the deterministic grid sweep must land
+    at equally good objective values (the CE landscape is smooth in
+    log-lambda; DE is stochastic, so compare objectives, not lambdas)."""
+    from uncltmo_tpu.ops.lambda_est import (cross_entropy_np, fit_lambda,
+                                            fit_lambda_de)
+    mean = np.load(MEAN_HIST, allow_pickle=True)[()]
+    targets = np.asarray(mean["mean_vals"], np.float32)
+    gray = (rng.random((48, 48)).astype(np.float32) ** 4)
+    gray /= gray.max()
+    lam_grid = fit_lambda(gray, targets, grid=256)
+    lam_de = fit_lambda_de(gray, targets)
+    assert 1.0 <= lam_de <= 1e9
+    ce_grid = cross_entropy_np(lam_grid, gray, targets, 20)
+    ce_de = cross_entropy_np(lam_de, gray, targets, 20)
+    assert abs(ce_grid - ce_de) < 0.02
+
+
 @pytest.mark.skipif(not os.path.exists(BELGIUM), reason="no sample hdr")
 def test_image_cli_end_to_end(tmp_path, rng):
     """belgium.hdr -> tone-mapped PNG via the full CLI path with random

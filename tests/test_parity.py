@@ -101,3 +101,73 @@ def test_relative_pos_bias_matches_reference(ref_image_net):
     ref_rel = ref_image_net.gcn.module[0][0].relative_pos.numpy()[0]
     mine = relative_pos_bias(256, 12)
     np.testing.assert_allclose(mine, ref_rel, rtol=1e-4, atol=1e-5)
+
+
+def test_export_checkpoint_cli(tmp_path):
+    """Training .msgpack -> cli/export_checkpoint.py -> reference .pth ->
+    importer round trip."""
+    from uncltmo_tpu.training.state import TrainState
+    from uncltmo_tpu.utils import checkpoint as ckpt
+    from uncltmo_tpu.utils.convert_torch import convert_checkpoint
+    from cli.export_checkpoint import main as export_main
+
+    gen, disc = UNetTMO(), SimpleDiscriminator()
+    g = jax.jit(gen.init)(jax.random.PRNGKey(0), jnp.zeros((1, 256, 256, 1)))
+    d = jax.jit(disc.init)(jax.random.PRNGKey(1), jnp.zeros((1, 256, 256, 1)))
+    state = TrainState.create(g["params"], d["params"])
+    path = ckpt.save_train_state(str(tmp_path / "models"), 5, 62, state)
+
+    out = str(tmp_path / "net_epoch5_iter62.pth")
+    export_main(["--checkpoint", path, "--output", out])
+    back = convert_checkpoint(out)
+    assert back["epoch"] == 5
+    ref_leaf = np.asarray(g["params"]["outc"]["Conv_0"]["kernel"])
+    np.testing.assert_array_equal(back["params_G"]["outc"]["Conv_0"]["kernel"],
+                                  ref_leaf)
+    assert "params_D" in back
+
+
+def test_export_generator_into_reference(tmp_path):
+    """The REVERSE direction: Flax-trained weights exported to a reference
+    .pth must (a) survive a convert_torch round trip bit-for-bit, (b) load
+    into the reference torch UNet with strict=True, and (c) produce the
+    same outputs there as the Flax model — models trained here are
+    activatable by the reference's test_imageTMO.py unchanged."""
+    from uncltmo_tpu.utils.convert_torch import convert_checkpoint
+    from uncltmo_tpu.utils.export_torch import save_reference_checkpoint
+
+    model = UNetTMO()
+    variables = jax.jit(model.init)(jax.random.PRNGKey(11),
+                                    jnp.zeros((1, 256, 256, 1)))
+    params = jax.tree_util.tree_map(np.asarray, variables["params"])
+    disc = SimpleDiscriminator()
+    d_vars = jax.jit(disc.init)(jax.random.PRNGKey(12),
+                                jnp.zeros((1, 256, 256, 1)))
+    params_d = jax.tree_util.tree_map(np.asarray, d_vars["params"])
+
+    pth = str(tmp_path / "net_epoch3_iter7.pth")
+    save_reference_checkpoint(pth, params, params_d, epoch=3)
+
+    # (a) round trip through the importer is exact
+    back = convert_checkpoint(pth)
+    assert back["epoch"] == 3
+    flat_a = jax.tree_util.tree_leaves_with_path(params)
+    flat_b = dict(jax.tree_util.tree_leaves_with_path(back["params_G"]))
+    for path, leaf in flat_a:
+        np.testing.assert_array_equal(leaf, flat_b[path], err_msg=str(path))
+
+    # (b) strict load into the reference torch model
+    ref = reference_shim.build_reference_unet(video=False)
+    ckpt = torch.load(pth, map_location="cpu", weights_only=False)
+    ref.load_state_dict(ckpt["modelG_state_dict"], strict=True)
+    ref.eval()
+
+    # (c) output parity on a shared input
+    rng = np.random.default_rng(13)
+    x = rng.random((2, 256, 256, 1)).astype(np.float32)
+    with torch.no_grad():
+        ref_out, _ = ref(torch.tensor(x.transpose(0, 3, 1, 2)))
+    out, _ = jax.jit(model.apply)({"params": params}, jnp.asarray(x))
+    np.testing.assert_allclose(
+        np.asarray(out), ref_out.numpy().transpose(0, 2, 3, 1),
+        rtol=1e-4, atol=2e-5)

@@ -11,9 +11,10 @@ monotone transform of g, so with the luminances sorted once,
 count(y <= e) = count(g <= (10^(e*M) - 1)/lambda) is a single searchsorted
 per bin edge.  A dense log-grid sweep + two zoom refinements evaluates
 thousands of candidate lambdas in O(bins * log N) each — deterministic,
-on-device, and orders of magnitude faster than the DE loop.  (Deviation
-from the reference: the optimizer, not the objective; cached dict format is
-identical.)
+on-device, and orders of magnitude faster than the DE loop.  The
+reference's exact scipy differential-evolution optimizer is also available
+(`fit_lambda_de` / optimizer='de') for bit-for-bit reproduction; cached
+dict format is identical either way.
 """
 from __future__ import annotations
 
@@ -81,6 +82,20 @@ def fit_lambda(gray_im: np.ndarray, targets: np.ndarray, bins: int = 20,
     return float(lambdas[i])
 
 
+def fit_lambda_de(gray_im: np.ndarray, targets: np.ndarray,
+                  bins: int = 20) -> float:
+    """The reference's EXACT optimizer: scipy differential evolution over
+    the same objective, bounds [(1, 1e9)], maxiter=1000
+    (`adaptive_lambda.py:59-60`).  Stochastic and ~100x slower than
+    `fit_lambda`; exposed for bit-for-bit reproduction of published
+    lambda dicts (optimizer='de')."""
+    from scipy import optimize
+    sol = optimize.differential_evolution(
+        cross_entropy_np, args=(gray_im, targets, bins),
+        bounds=[(1, 1000000000)], maxiter=1000)
+    return float(sol.x[0])
+
+
 def verify_lambda_dict(f_factor_path: str, input_images_path: str) -> bool:
     """True if every input image already has a cached lambda
     (`adaptive_lambda.py:24-35`)."""
@@ -95,10 +110,13 @@ def verify_lambda_dict(f_factor_path: str, input_images_path: str) -> bool:
 
 def calc_lambda(f_factor_path: str, extensions, input_images_path: str,
                 mean_hist_path: str, lambda_output_path: str,
-                bins: int = 20) -> Optional[str]:
+                bins: int = 20, optimizer: str = "grid") -> Optional[str]:
     """Reference-compatible batch entry (`adaptive_lambda.py:38-67`):
     computes missing lambdas for a directory, caching into
-    {lambda_output_path}/input_images_lambdas.npy."""
+    {lambda_output_path}/input_images_lambdas.npy.
+
+    optimizer: 'grid' (deterministic on-device sweep, default) or 'de'
+    (the reference's scipy differential evolution, exact but slow)."""
     from uncltmo_tpu.ops.preprocess import reshape_image_np
 
     if verify_lambda_dict(f_factor_path, input_images_path):
@@ -120,7 +138,10 @@ def calc_lambda(f_factor_path: str, extensions, input_images_path: str,
             gray = gray - gray.min()
         gray = reshape_image_np(gray, train_reshape=False)
         gray = gray / gray.max()
-        lam = fit_lambda(gray, targets, bins=int(bins))
+        if optimizer == "de":
+            lam = fit_lambda_de(np.asarray(gray), targets, bins=int(bins))
+        else:
+            lam = fit_lambda(gray, targets, bins=int(bins))
         print(f"[{img_name}] [{lam:.4f}]")
         res[stem] = lam
         np.save(out_path, res)
