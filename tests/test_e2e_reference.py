@@ -76,6 +76,80 @@ def _run_reference(msu, net, hdr_path, lam_path, out_dir, monkeypatch):
     return captured["belgium2x_UnCLTMO.png"], model_params
 
 
+VIDEO_RUN_SETTINGS = ("/root/reference/activate_trained_model/"
+                      "model_weights_videoTMO/run_settings.npy")
+
+
+def test_full_video_pipeline_parity(tmp_path, monkeypatch):
+    """The reference's `run_model_on_video` (`model_save_util.py:567-614`:
+    per-frame lambda-log load, pad, 5-D tiled forward with temporal
+    recurrence, per-frame percentile clamp/stretch, ratio color, crop,
+    save) vs `InferenceRunner.run_video_scene` with the SAME converted
+    random video-UNet weights on a synthetic 2-frame scene."""
+    import cv2
+    import imageio
+    import jax.numpy as jnp
+    from utils import hdr_image_util
+    from uncltmo_tpu.inference.runner import InferenceRunner
+    from uncltmo_tpu.utils.convert_torch import convert_generator
+    from uncltmo_tpu.utils.io import read_hdr_image
+
+    # synthetic 2-frame HDR scene, > one tile in each direction
+    scene_dir = tmp_path / "scenes" / "sceneX"
+    scene_dir.mkdir(parents=True)
+    rng = np.random.default_rng(3)
+    base = (rng.random((320, 448, 3)).astype(np.float32) ** 2) * 800
+    for i in range(2):
+        frame = np.roll(base, 7 * i, axis=1) * (1.0 + 0.05 * i)
+        assert cv2.imwrite(str(scene_dir / f"f{i}.hdr"),
+                           cv2.cvtColor(frame, cv2.COLOR_RGB2BGR))
+    lam_path = str(tmp_path / "lams.npy")
+    np.save(lam_path, {"sceneX": 80.0})
+    im_paths = [str(scene_dir / f"f{i}.hdr") for i in range(2)]
+    im_names = [f"f{i}" for i in range(2)]
+
+    msu = reference_shim.import_model_save_util()
+    net = reference_shim.build_reference_unet(video=True)
+    g = torch.Generator().manual_seed(9)
+    with torch.no_grad():
+        for name, p in net.named_parameters():
+            if "relative_pos" in name:
+                continue
+            p.copy_(torch.randn(p.shape, generator=g) * 0.05)
+
+    captured = {}
+
+    def fake_imwrite(path, im, *a, **k):
+        captured[os.path.basename(str(path))] = np.asarray(im)
+
+    monkeypatch.setattr(hdr_image_util, "read_hdr_image",
+                        lambda p: read_hdr_image(str(p)))
+    monkeypatch.setattr(imageio, "imwrite", fake_imwrite)
+    model_params = msu.get_model_params("e2e_video", VIDEO_RUN_SETTINGS)
+    with torch.no_grad():
+        msu.run_model_on_video(net, im_paths, torch.device("cpu"), im_names,
+                               str(tmp_path / "ref"), model_params, lam_path,
+                               model_params["final_shape_addition"])
+    assert len(captured) == 2, captured.keys()
+
+    params_g = convert_generator(
+        {k: v.numpy() for k, v in net.state_dict().items()})
+    runner = InferenceRunner(model_params, net_path="", params_G=params_g,
+                             video=True, dtype=jnp.float32)
+    outs = runner.run_video_scene(im_paths, im_names,
+                                  str(tmp_path / "mine"), lam_path)
+    assert len(outs) == 2
+    for i, out_path in enumerate(outs):
+        mine = cv2.cvtColor(cv2.imread(out_path, cv2.IMREAD_COLOR),
+                            cv2.COLOR_BGR2RGB)
+        ref = captured[f"f{i}_UnCLTMO.png"]
+        assert mine.shape == ref.shape, (i, mine.shape, ref.shape)
+        diff = np.abs(mine.astype(np.int32) - ref.astype(np.int32))
+        assert diff.max() <= 3, f"frame {i}: max uint8 diff {diff.max()}"
+        assert (diff > 1).mean() < 1e-3, \
+            f"frame {i}: {(diff > 1).mean():.2e} of pixels differ by >1"
+
+
 def test_full_pipeline_parity(big_hdr, lambda_path, tmp_path, monkeypatch):
     import cv2
     import jax.numpy as jnp
