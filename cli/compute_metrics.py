@@ -63,7 +63,7 @@ def cmd_warp(args):
     for a, b in zip(frames[:-1], frames[1:]):
         f0 = read_ldr_image(os.path.join(args.frames_dir, a))
         f1 = read_ldr_image(os.path.join(args.frames_dir, b))
-        e1, e2 = compute_warp_error(f0, f1)
+        e1, e2 = compute_warp_error(f0, f1, algo=args.algo)
         e1s.append(e1)
         e2s.append(e2)
         print(f"{a} -> {b}: E1={e1:.6f} E2={e2:.6f}")
@@ -111,6 +111,11 @@ def main(argv=None):
     t.add_argument("--output", default="")
     w = sub.add_parser("warp")
     w.add_argument("--frames_dir", required=True)
+    w.add_argument("--algo", default="auto",
+                   choices=["auto", "DeepFlow", "DIS", "Farneback",
+                            "hs_jax"],
+                   help="flow estimator; hs_jax = on-device pyramidal "
+                        "Horn-Schunck (no cv2 dependency)")
     w.add_argument("--output", default="")
     f = sub.add_parser("fid")
     f.add_argument("--real_dir", required=True)

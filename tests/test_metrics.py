@@ -165,6 +165,31 @@ def test_warp_error_estimator_substitution_bound():
     assert abs(e1_dis - e1_fb) < 0.2 * e1_noflow, (e1_dis, e1_fb, e1_noflow)
 
 
+def test_hs_jax_flow_recovers_translation():
+    """The on-device pyramidal Horn-Schunck backend must recover a pure
+    translation: flow ~ (-shift, 0) in the valid interior, and the
+    compensated warp error must be a small fraction of the uncompensated
+    one — within the same bound family as the cv2 estimators."""
+    from uncltmo_tpu.metrics.flow_jax import horn_schunck_flow
+    from uncltmo_tpu.metrics.warp_error import compute_warp_error
+    import jax.numpy as jnp
+    f0, f1 = _shifted_pair()
+
+    flow = np.asarray(horn_schunck_flow(jnp.asarray(f0[..., 0]),
+                                        jnp.asarray(f1[..., 0])))
+    interior = flow[40:-40, 40:-40]
+    # convention: img1(p + f(p)) ~= img0(p); f1 = roll(f0, +6) => f = +6
+    assert abs(float(np.median(interior[..., 0])) - 6.0) < 1.0, \
+        float(np.median(interior[..., 0]))
+    assert abs(float(np.median(interior[..., 1]))) < 1.0
+
+    e1_noflow = float(np.mean((f1[32:-32, 32:-32] - f0[32:-32, 32:-32]) ** 2))
+    e1_hs, e2_hs = compute_warp_error(f0, f1, algo="hs_jax")
+    e1_dis, _ = compute_warp_error(f0, f1, algo="DIS")
+    assert e1_hs < 0.3 * e1_noflow, (e1_hs, e1_noflow)
+    assert abs(e1_hs - e1_dis) < 0.2 * e1_noflow, (e1_hs, e1_dis, e1_noflow)
+
+
 def test_warp_error_baseline_flow_source():
     """Flow estimated on clean baseline renders still aligns noisy model
     outputs (the reference's L1L0 protocol, `Tester.py:378-390`)."""

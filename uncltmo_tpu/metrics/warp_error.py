@@ -15,6 +15,9 @@ Flow backend: the reference uses cv2.optflow DeepFlow (opencv-contrib),
 which is not in this image; DIS (preset MEDIUM) or Farneback from core
 OpenCV are used instead — same protocol, different flow estimator
 (documented deviation; both are dense variational-style estimators).
+`algo='hs_jax'` selects the fully on-device pyramidal Horn-Schunck
+estimator (`metrics/flow_jax.py`), which is also the automatic fallback
+when OpenCV is unavailable — the metric has no hard cv2 dependency.
 """
 from __future__ import annotations
 
@@ -45,6 +48,10 @@ def estimate_inv_flow(img0: np.ndarray, img1: np.ndarray,
     exactly this call after its internal argument renames
     (`Tester.py:450-476`: of_estim.calc(img_source, img_to_align))."""
     assert img0.dtype == np.uint8 and img1.dtype == np.uint8
+    if algo == "hs_jax" or not _HAS_CV2:
+        # fully on-device pyramidal Horn-Schunck (no cv2 dependency)
+        from uncltmo_tpu.metrics.flow_jax import estimate_inv_flow_jax
+        return estimate_inv_flow_jax(img0, img1)
     if algo in ("auto", "DeepFlow") and hasattr(cv2, "optflow"):
         est = cv2.optflow.createOptFlow_DeepFlow()
         return est.calc(img0, img1, None)
@@ -61,7 +68,21 @@ def warp_with_flow(img: np.ndarray, flow: np.ndarray) -> np.ndarray:
     fmap = flow.copy()
     fmap[:, :, 0] += np.arange(w)
     fmap[:, :, 1] += np.arange(h)[:, None]
-    return cv2.remap(img, fmap, None, cv2.INTER_LINEAR)
+    if _HAS_CV2:
+        return cv2.remap(img, fmap, None, cv2.INTER_LINEAR)
+    import jax
+    import jax.numpy as jnp
+    im = jnp.asarray(img, jnp.float32)
+    coords = [jnp.asarray(fmap[:, :, 1]), jnp.asarray(fmap[:, :, 0])]
+    if im.ndim == 3:
+        out = jnp.stack([
+            jax.scipy.ndimage.map_coordinates(im[..., c], coords, order=1,
+                                              mode="nearest")
+            for c in range(im.shape[-1])], axis=-1)
+    else:
+        out = jax.scipy.ndimage.map_coordinates(im, coords, order=1,
+                                                mode="nearest")
+    return np.asarray(jnp.clip(jnp.round(out), 0, 255), img.dtype)
 
 
 def compute_warp_error(frame0: np.ndarray, frame1: np.ndarray,
@@ -76,8 +97,6 @@ def compute_warp_error(frame0: np.ndarray, frame1: np.ndarray,
     reference does with its L1L0 outputs (`Tester.py:378-390`): pass those
     as flow_source0/1; defaults to the frames themselves.
     """
-    if not _HAS_CV2:
-        raise RuntimeError("cv2 required for warp error")
     src0 = _to_uint8(flow_source0 if flow_source0 is not None else frame0)
     src1 = _to_uint8(flow_source1 if flow_source1 is not None else frame1)
     flow = estimate_inv_flow(src0[..., 0] if src0.ndim == 3 else src0,
