@@ -25,7 +25,10 @@ tests/test_pallas.py).  Compiled enablement is blocked on this jax
 version's Mosaic lacking the (rows, W*C) -> (rows, W, C) vector shape
 cast needed after the flat DMA ("infer-vector-layout: unsupported shape
 cast"); the DMA itself now satisfies the (8, 128) tile-alignment rules.
-The stock XLA conv path remains the model default (see PERF.md).
+Re-checked in round 2 (jax 0.9.0): the axon remote-compile helper now
+returns an opaque HTTP 500 for the Mosaic lowering, hiding the
+diagnostic entirely — blind iteration against it is not viable on this
+host.  The stock XLA conv path remains the model default (see PERF.md).
 """
 from __future__ import annotations
 
