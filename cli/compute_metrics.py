@@ -29,11 +29,42 @@ from uncltmo_tpu.utils.io import (HDR_EXTENSIONS, read_hdr_image,
 
 
 def cmd_tmqi(args):
+    if getattr(args, "per_scene", 0):
+        return _tmqi_scenes(args)
+    _tmqi_dir(args.hdr_dir, args.ldr_dir, args.output,
+              int(getattr(args, "max_frames", 0)))
+
+
+def _tmqi_scenes(args):
+    """Video-dataset layout (reference `metrics/TMQI_python/demo.py:8-31`):
+    scene sub-directories of .npy HDR frames, first `max_frames` per scene,
+    outputs named <frame>_UnCLTMO.png under the same scene name."""
+    all_scores, means = {}, []
+    for scene in sorted(os.listdir(args.hdr_dir)):
+        h = os.path.join(args.hdr_dir, scene)
+        l = os.path.join(args.ldr_dir, scene)
+        if not (os.path.isdir(h) and os.path.isdir(l)):
+            continue
+        scores = _tmqi_dir(h, l, "", int(args.max_frames) or 6)
+        if scores:
+            all_scores[scene] = scores
+            means.append(np.mean([v["Q"] for v in scores.values()]))
+    if means:
+        print(f"average score over {len(all_scores)} scenes: "
+              f"{float(np.mean(means)):.4f}")
+        _save(args.output, {"per_scene": all_scores,
+                            "mean_Q": float(np.mean(means))})
+
+
+def _tmqi_dir(hdr_dir, ldr_dir, output, max_frames=0):
     from uncltmo_tpu.metrics.tmqi import tmqi
     scores = {}
-    ldr_files = {os.path.splitext(f)[0]: f for f in os.listdir(args.ldr_dir)
+    ldr_files = {os.path.splitext(f)[0]: f for f in os.listdir(ldr_dir)
                  if f.lower().endswith((".png", ".jpg"))}
-    for hdr_name in sorted(os.listdir(args.hdr_dir)):
+    hdr_names = sorted(os.listdir(hdr_dir))
+    if max_frames:
+        hdr_names = hdr_names[:max_frames]
+    for hdr_name in hdr_names:
         stem, ext = os.path.splitext(hdr_name)
         if ext not in HDR_EXTENSIONS:
             continue
@@ -41,8 +72,8 @@ def cmd_tmqi(args):
                       if k.startswith(stem)), None)
         if match is None:
             continue
-        hdr = read_hdr_image(os.path.join(args.hdr_dir, hdr_name))
-        ldr = read_ldr_image(os.path.join(args.ldr_dir, match)) * 255.0
+        hdr = read_hdr_image(os.path.join(hdr_dir, hdr_name))
+        ldr = read_ldr_image(os.path.join(ldr_dir, match)) * 255.0
         if hdr.shape[:2] != ldr.shape[:2]:
             import cv2
             hdr = cv2.resize(hdr, (ldr.shape[1], ldr.shape[0]))
@@ -52,7 +83,8 @@ def cmd_tmqi(args):
     if scores:
         mean_q = float(np.mean([v["Q"] for v in scores.values()]))
         print(f"mean Q over {len(scores)} images: {mean_q:.4f}")
-        _save(args.output, {"per_image": scores, "mean_Q": mean_q})
+        _save(output, {"per_image": scores, "mean_Q": mean_q})
+    return scores
 
 
 def cmd_warp(args):
@@ -108,6 +140,11 @@ def main(argv=None):
     t = sub.add_parser("tmqi")
     t.add_argument("--hdr_dir", required=True)
     t.add_argument("--ldr_dir", required=True)
+    t.add_argument("--per_scene", type=int, default=0,
+                   help="video layout: scene sub-dirs, first max_frames "
+                        "frames each (TMQI_python/demo.py)")
+    t.add_argument("--max_frames", type=int, default=0,
+                   help="cap frames per dir (demo.py uses 6 per scene)")
     t.add_argument("--output", default="")
     w = sub.add_parser("warp")
     w.add_argument("--frames_dir", required=True)
