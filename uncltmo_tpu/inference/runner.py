@@ -50,6 +50,28 @@ def postprocess_device(rgb_padded: jnp.ndarray, fake: jnp.ndarray,
     return color.to_01_outlier(im_color)
 
 
+def _enable_compile_cache() -> None:
+    """Persistent XLA compilation cache for inference runs.
+
+    Dataset evaluation compiles one tiled program per distinct padded
+    (H, W) — tens of shapes at ~20-40 s of first-compile each on the
+    remote backend.  Caching them on disk makes every rerun start hot.
+    Respects an existing user configuration."""
+    import jax
+    if jax.config.jax_compilation_cache_dir:
+        return
+    cache = os.environ.get(
+        "UNCLTMO_JAX_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "uncltmo_tpu",
+                     "jax_cache"))
+    try:
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass  # cache is an optimization, never a requirement
+
+
 class InferenceRunner:
     """Loads a generator once and tone-maps images / video scenes."""
 
@@ -57,6 +79,7 @@ class InferenceRunner:
                  video: bool = False, tile: int = 256, overlap: int = 64,
                  dtype=jnp.float32, chunk: int = 16,
                  params_G=None):
+        _enable_compile_cache()
         self.model_params = model_params
         opt = options_from_model_params(model_params)
         self.gen = make_generator(opt)
