@@ -146,6 +146,19 @@ def test_bf16_fast_path_close_to_f32():
     assert float(jnp.max(jnp.abs(out32 - out16))) < 0.02
     assert float(jnp.mean(jnp.abs(out32 - out16))) < 0.004
 
+    # quality bound: the benched bf16 mode must stay inside the project's
+    # TMQI north-star tolerance (delta < 0.005) relative to the f32 path
+    from uncltmo_tpu.metrics.tmqi import tmqi
+    hdr = np.asarray(img[..., 0], np.float64) ** 4 * 5000.0
+    ldr32 = np.asarray(out32[..., 0], np.float64) * 255.0
+    ldr16 = np.asarray(out16[..., 0], np.float64) * 255.0
+    q32 = tmqi(hdr, ldr32)[0]
+    q16 = tmqi(hdr, ldr16)[0]
+    if np.isfinite(q32) and np.isfinite(q16):
+        assert abs(q32 - q16) < 0.005, (q32, q16)
+    else:  # random weights can NaN the S term; N is always defined
+        assert abs(tmqi(hdr, ldr32)[2] - tmqi(hdr, ldr16)[2]) < 0.005
+
 
 def test_multi_scene_video_batching_matches_per_scene():
     """`run_videos` (scene-batched serving path) must equal `run_video`
