@@ -24,12 +24,17 @@ import reference_shim
 
 torch = pytest.importorskip("torch")
 
-pytestmark = pytest.mark.skipif(not reference_shim.install(),
-                                reason="torch unavailable")
-
 BELGIUM = "/root/reference/activate_trained_model/input_images/belgium.hdr"
 RUN_SETTINGS = ("/root/reference/activate_trained_model/"
                 "model_weights_imageTMO/run_settings.npy")
+
+pytestmark = [
+    pytest.mark.skipif(not reference_shim.install(),
+                       reason="torch unavailable"),
+    pytest.mark.skipif(not (os.path.exists(BELGIUM)
+                            and os.path.exists(RUN_SETTINGS)),
+                       reason="reference checkout assets unavailable"),
+]
 
 
 @pytest.fixture(scope="module")

@@ -134,6 +134,25 @@ def test_trainer_manual_d_training_slider(tmp_path):
     assert int(trainer.state.step) == 1
 
 
+def test_trainer_untrained_dcgan_with_small_input_size(tmp_path):
+    """A non-simpleD discriminator that is never trained (train_with_D=0)
+    must not crash trainer init when train_input_size is below the DCGAN
+    tail's minimum — the variant keeps its default build size."""
+    opt = Options(batch_size=2, num_epochs=1, d_pretrain_epochs=0,
+                  G_lr=1e-5, D_lr=1.5e-5, lr_decay_step=50,
+                  loss_g_d_factor=0.1, pyramid_weight_list="0.2,0.4,0.6",
+                  adv_weight_list="1,1,0", log_every=1,
+                  d_model="original", train_with_D=0,
+                  train_input_size=112,
+                  result_dir_prefix=str(tmp_path / "run"))
+    opt.output_dir = str(tmp_path / "run")
+    os.makedirs(opt.output_dir, exist_ok=True)
+    trainer = GanTrainer(opt, video=False,
+                         source=SyntheticDataSource(n_items=2, size=112),
+                         use_mesh=False)
+    assert trainer is not None
+
+
 def test_trainer_rejects_add_frame(tmp_path):
     opt = Options(batch_size=2, add_frame=1)
     opt.output_dir = str(tmp_path)

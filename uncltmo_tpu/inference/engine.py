@@ -109,19 +109,26 @@ class TileEngine:
         # measured ~25% of device time at 1080p.  bf16 params make the
         # whole forward bf16 end to end (MXU still accumulates in f32).
         # Strict-parity runs pass dtype=float32 and are untouched.
-        if dtype == jnp.bfloat16:
-            self.variables = jax.tree_util.tree_map(
-                lambda a: a.astype(jnp.bfloat16)
-                if hasattr(a, "dtype") and a.dtype == jnp.float32 else a,
-                variables)
-        else:
-            self.variables = variables
+        self.update_variables(variables)
         # optional jax.sharding.Mesh with a 'data' axis: the tile batch is
         # sharded across devices (tiles are independent until the blend,
         # which XLA resolves with an all-gather over ICI)
         self.mesh = mesh
         self._image_fns: Dict[Tuple[int, int], callable] = {}
         self._video_fns: Dict[Tuple[int, int, int], callable] = {}
+
+    def update_variables(self, variables) -> None:
+        """Swap the model params, preserving the engine's dtype invariant
+        (a bfloat16 engine holds bfloat16 params).  Callers must use this
+        instead of assigning .variables directly — a raw assignment of
+        float32 params would silently fall back to the slow mixed-dtype
+        conv path."""
+        if self.dtype == jnp.bfloat16:
+            variables = jax.tree_util.tree_map(
+                lambda a: a.astype(jnp.bfloat16)
+                if hasattr(a, "dtype") and a.dtype == jnp.float32 else a,
+                variables)
+        self.variables = variables
 
     def _shard_tiles(self, tiles: jnp.ndarray) -> jnp.ndarray:
         """Shard the per-chunk tile batch (axis 1 of (chunks, chunk, ...))

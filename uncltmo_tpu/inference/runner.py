@@ -80,6 +80,18 @@ class InferenceRunner:
                  dtype=jnp.float32, chunk: int = 16,
                  params_G=None):
         _enable_compile_cache()
+        if int(model_params.get("add_frame", 0)):
+            # The reference's add_frame TILED inference is broken at the
+            # source: test_big_size_image2 passes apply_crop per 256-tile
+            # (`model_save_util.py:427`), so each tile output shrinks by
+            # (diffY, diffX) and no longer fits the stitch slots — only the
+            # non-tiled `run_model_on_single_image` path (`:272`) is
+            # consistent, and no published checkpoint uses add_frame.
+            # Reject loudly rather than silently skipping the crop.
+            raise ValueError(
+                "add_frame=1 checkpoints are not supported by the tiled "
+                "inference path (the reference's own tiler is inconsistent "
+                "with add_frame; published configs use add_frame=0)")
         self.model_params = model_params
         opt = options_from_model_params(model_params)
         self.gen = make_generator(opt)
@@ -206,21 +218,35 @@ class InferenceRunner:
                                              output_images_path,
                                              f_factor_path)
             return outs
-        loaded = [(self._load_scene(p, f_factor_path), n)
-                  for p, n in scene_jobs]
+        # Stream scenes: at most scene_batch + 1 scenes are resident at a
+        # time (the group being built plus one non-matching lookahead) —
+        # eagerly preloading a whole dataset of padded full-res frames
+        # would hold O(dataset) HBM instead of O(scene_batch).
+        pending = None                 # lookahead from the previous group
         i = 0
-        while i < len(loaded):
-            (s0, _, g0, _, _), _ = loaded[i]
-            group = [loaded[i]]
-            while (len(group) < scene_batch and i + len(group) < len(loaded)
-                   and len(loaded[i + len(group)][0][2]) == len(g0)
-                   and loaded[i + len(group)][0][2][0].shape == g0[0].shape):
-                group.append(loaded[i + len(group)])
+        while i < len(scene_jobs) or pending is not None:
+            if pending is not None:
+                group, pending = [pending], None
+            else:
+                group = [(self._load_scene(scene_jobs[i][0], f_factor_path),
+                          scene_jobs[i][1])]
+                i += 1
+            (_, _, g0, _, _), _ = group[0]
+            while len(group) < scene_batch and i < len(scene_jobs):
+                cand = (self._load_scene(scene_jobs[i][0], f_factor_path),
+                        scene_jobs[i][1])
+                i += 1
+                if (len(cand[0][2]) == len(g0)
+                        and cand[0][2][0].shape == g0[0].shape):
+                    group.append(cand)
+                else:
+                    pending = cand
+                    break
             stack = jnp.stack([jnp.stack(g) for (_, _, g, _, _), _ in group])
             fakes = self.engine.run_videos(stack)
             for s, ((scene, rgbs, _, dy, dx), im_names) in enumerate(group):
                 outs += self._save_scene(scene, rgbs, fakes[s], dy, dx,
                                          im_names, output_images_path,
                                          "_UnCLTMO")
-            i += len(group)
+            del group, stack, fakes
         return outs

@@ -165,7 +165,10 @@ class UNetTMO(nn.Module):
 
         apply_crop/diffY/diffX: the add_frame protocol's output crop
         (`Unet_singleFrame.py:210-211`), active only when the module was
-        built with to_crop (= the add_frame config)."""
+        built with to_crop (= the add_frame config).  Matches the
+        reference's WHOLE-IMAGE forward (`model_save_util.py:272`); the
+        tiled paths reject add_frame models (the reference's own tiler is
+        inconsistent with the per-tile crop — see InferenceRunner)."""
         out, up_x, _ = self.frame(x, None, deterministic=deterministic)
         if apply_crop and self.to_crop and (diffY or diffX):
             from uncltmo_tpu.ops.preprocess import crop_center_batch

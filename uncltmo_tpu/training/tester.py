@@ -56,8 +56,20 @@ class Tester:
         hist = self.opt.mean_hist_path
         if not missing or not hist or not os.path.exists(hist):
             return
+        import numpy as np
         from uncltmo_tpu.ops.lambda_est import calc_lambda
         os.makedirs(self.opt.lambdas_path, exist_ok=True)
+        # seed calc_lambda's cache with the lambdas we already know, so it
+        # only fits the genuinely missing names (it skips stems present in
+        # its output dict) instead of re-fitting the whole directory
+        out_path = os.path.join(self.opt.lambdas_path,
+                                "input_images_lambdas.npy")
+        cache = {}
+        if os.path.isfile(out_path):
+            cache = np.load(out_path, allow_pickle=True)[()]
+        merged = {**cache, **self.lambda_table}
+        if merged != cache:
+            np.save(out_path, merged)
         out = calc_lambda(self.opt.f_factor_path, HDR_EXTENSIONS, root,
                           hist, self.opt.lambdas_path, self.opt.bins)
         if out and os.path.exists(out):
@@ -99,7 +111,7 @@ class Tester:
     def save_images_for_model(self, model, params_G, out_dir: str,
                               epoch: int, epoch_iter: int) -> Dict[str, float]:
         """1/4-epoch eval hook (`Tester.py:253-312`)."""
-        self.engine.variables = {"params": params_G}
+        self.engine.update_variables({"params": params_G})
         metrics: Dict[str, float] = {}
         if self.video and self.test_video_path and \
                 os.path.isdir(self.test_video_path):

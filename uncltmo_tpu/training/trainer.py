@@ -78,7 +78,12 @@ class GanTrainer:
             from uncltmo_tpu.models.unet import bottleneck_grid
             gen_overrides["gcn_grid"] = bottleneck_grid(self.input_size,
                                                         opt.unet_depth)
-            if opt.d_model != "patchD":    # patchD is size-agnostic
+            # only simpleD needs (and supports) the size override; patchD
+            # is size-agnostic and the legacy DCGAN's fixed 4x4-valid tail
+            # underflows below 128px — non-simpleD variants are never
+            # trained (rejected below when train_with_D) so they keep
+            # their default build size
+            if opt.d_model == "simpleD":
                 disc_overrides["input_size"] = self.input_size
         if opt.train_with_D and opt.d_model != "simpleD":
             # The contrastive losses consume SimpleDiscriminator's
@@ -108,8 +113,11 @@ class GanTrainer:
         size = self.input_size
         g_vars = jax.jit(self.gen.init)(
             kg, jnp.zeros((1, size, size, opt.input_dim)))
+        # init untrained non-simpleD variants at their default build size
+        # (e.g. DCGAN's fixed tail underflows below 128px)
+        d_size = size if opt.d_model in ("simpleD", "patchD") else P.INPUT_SIZE
         d_vars = jax.jit(self.disc.init)(
-            kd, jnp.zeros((1, size, size, opt.output_dim)))
+            kd, jnp.zeros((1, d_size, d_size, opt.output_dim)))
         self.state = TrainState.create(g_vars["params"], d_vars["params"])
 
         # ---- data
@@ -206,8 +214,10 @@ class GanTrainer:
     def print_epoch_summary(self, epoch: int, epoch_iter: int, logs):
         """1/4-epoch hook (`GanTrainer.py:520-544`): console summary, eval
         via the Tester, checkpoint save."""
-        print_epoch_losses_summary(epoch, self.opt.num_epochs,
-                                   {k: float(v) for k, v in logs.items()})
+        print_epoch_losses_summary(
+            epoch, self.opt.num_epochs,
+            {k: float(v) for k, v in logs.items()
+             if not k.startswith("gradG/")})  # grad-flow gets its own plot
         if self.tester is not None:
             self.tester.save_images_for_model(
                 self.gen, self._generator_params(), self.opt.output_dir,
