@@ -134,6 +134,32 @@ def test_trainer_manual_d_training_slider(tmp_path):
     assert int(trainer.state.step) == 1
 
 
+def test_video_trainer_one_epoch(tmp_path):
+    """Video GanTrainer end to end (orchestration, not just the raw step):
+    recurrence + feature head through the fused loss, checkpoints and
+    metric stream written, at a small train_input_size for CPU speed."""
+    opt = Options(batch_size=2, num_epochs=1, d_pretrain_epochs=0,
+                  G_lr=1e-5, D_lr=1.5e-5, lr_decay_step=50,
+                  loss_g_d_factor=0.1, pyramid_weight_list="0.2,0.4,0.6",
+                  adv_weight_list="1,1,0", log_every=1,
+                  train_input_size=112,
+                  result_dir_prefix=str(tmp_path / "run"))
+    opt.output_dir = str(tmp_path / "run")
+    os.makedirs(opt.output_dir, exist_ok=True)
+    trainer = GanTrainer(opt, video=True,
+                         source=SyntheticDataSource(n_items=2, size=112),
+                         use_mesh=False)
+    trainer.train()
+    assert int(trainer.state.step) == 1
+    recs = [json.loads(l) for l in
+            open(os.path.join(opt.output_dir, "train_metrics.jsonl"))]
+    assert any("errG_d" in r for r in recs)
+    assert all(np.isfinite(r["errG_d"]) for r in recs if "errG_d" in r)
+    ckpts = [f for f in os.listdir(os.path.join(opt.output_dir, "models"))
+             if f.endswith(".msgpack")]
+    assert ckpts
+
+
 def test_trainer_untrained_dcgan_with_small_input_size(tmp_path):
     """A non-simpleD discriminator that is never trained (train_with_D=0)
     must not crash trainer init when train_input_size is below the DCGAN
