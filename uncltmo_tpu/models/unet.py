@@ -77,6 +77,8 @@ class UNetTMO(nn.Module):
     gcn_grid: int = params.GCN_GRID
     to_crop: bool = False              # add_frame output crop (reference
                                        # `Unet_singleFrame.py:106,210-211`)
+    fast_upsample: bool = False        # inference-only ConvT lowering of
+                                       # the 2x2 upsample (see UpConvT2x2)
 
     def setup(self):
         f = self.filters
@@ -105,7 +107,8 @@ class UNetTMO(nn.Module):
                 out_ch, self.con_operator, self.unet_norm, self.activation,
                 double_conv_transpose=self.double_conv_transpose,
                 up_mode=self.up_mode, bilinear=self.bilinear, pad=pad,
-                padding_mode=self.padding_mode, name=f"up{i}"))
+                padding_mode=self.padding_mode,
+                fast_upsample=self.fast_upsample, name=f"up{i}"))
             ch //= 2
         self.ups = ups
         self.outc = blocks.OutConv(self.output_dim, name="outc")

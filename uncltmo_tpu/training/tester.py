@@ -35,6 +35,9 @@ class Tester:
         self.opt = opt
         self.video = video
         self.test_video_path = test_video_path
+        if hasattr(model, "fast_upsample") and not model.fast_upsample:
+            # eval is forward-only: same params, faster upsample lowering
+            model = model.clone(fast_upsample=True)
         self.engine = TileEngine(model, {"params": None}, dtype=dtype)
         self.lambda_table: Dict[str, float] = {}
         if opt.f_factor_path and os.path.exists(opt.f_factor_path):
