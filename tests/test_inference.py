@@ -54,7 +54,10 @@ def test_fit_lambda_de_agrees_with_grid(rng):
     gray = (rng.random((48, 48)).astype(np.float32) ** 4)
     gray /= gray.max()
     lam_grid = fit_lambda(gray, targets, grid=256)
-    lam_de = fit_lambda_de(gray, targets)
+    # seeded for test determinism (the reference runs DE unseeded; the CE
+    # landscape is near-flat across its basins, so an unlucky draw can
+    # otherwise settle ~0.02+ away)
+    lam_de = fit_lambda_de(gray, targets, seed=0)
     assert 1.0 <= lam_de <= 1e9
     ce_grid = cross_entropy_np(lam_grid, gray, targets, 20)
     ce_de = cross_entropy_np(lam_de, gray, targets, 20)

@@ -83,16 +83,17 @@ def fit_lambda(gray_im: np.ndarray, targets: np.ndarray, bins: int = 20,
 
 
 def fit_lambda_de(gray_im: np.ndarray, targets: np.ndarray,
-                  bins: int = 20) -> float:
+                  bins: int = 20, seed=None) -> float:
     """The reference's EXACT optimizer: scipy differential evolution over
     the same objective, bounds [(1, 1e9)], maxiter=1000
-    (`adaptive_lambda.py:59-60`).  Stochastic and ~100x slower than
-    `fit_lambda`; exposed for bit-for-bit reproduction of published
-    lambda dicts (optimizer='de')."""
+    (`adaptive_lambda.py:59-60`).  Stochastic (unseeded, like the
+    reference) and ~100x slower than `fit_lambda`; exposed for
+    reproduction of published lambda dicts (optimizer='de').  `seed`
+    makes it deterministic without otherwise changing the algorithm."""
     from scipy import optimize
     sol = optimize.differential_evolution(
         cross_entropy_np, args=(gray_im, targets, bins),
-        bounds=[(1, 1000000000)], maxiter=1000)
+        bounds=[(1, 1000000000)], maxiter=1000, seed=seed)
     return float(sol.x[0])
 
 
