@@ -116,6 +116,14 @@ def test_upconvt2x2_matches_torch():
     out = mod.apply(variables, jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)
 
+    # the serving lowering (native lax.conv_transpose over the SAME
+    # stored kernel) must be exactly equivalent — every inference surface
+    # runs this branch (hermetic: no torch/reference assets needed)
+    fast = UpConvT2x2(4, use_conv_transpose=True).apply(
+        variables, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(out),
+                               rtol=1e-6, atol=1e-6)
+
 
 @pytest.mark.parametrize("d_model", ["simpleD", "original", "dcgan",
                                      "patchD", "multiLayerD_simpleD",
