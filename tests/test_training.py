@@ -1,4 +1,6 @@
 """Training-step smoke + data-parallel sharding tests (8 virtual CPU devs)."""
+import time
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -101,6 +103,82 @@ def test_pipeline_batches(rng):
     assert b["hdr"].shape == (4, 2, 256, 256, 1)
     assert b["ldr_pos"].shape == (4, 2, 256, 256, 1)
     assert b["hdr"].max() <= 1.0 + 1e-6
+
+
+def test_pipeline_worker_error_propagates():
+    """A producer-side exception (e.g. LambdaTable KeyError on a typo'd
+    name) must re-raise in the consumer, not hang q.get forever."""
+    class BadSource:
+        def __len__(self):
+            return 4
+
+        def sample(self, rng):
+            raise KeyError("no lambda for 'typo'")
+
+    pipe = TrainPipeline(BadSource(), batch_size=2, seed=0)
+    with pytest.raises(KeyError):
+        list(pipe.epoch(0))
+
+
+def test_pipeline_streams_decorrelate_pretrain():
+    """stream=1 (D pretrain) must not replay stream=0's batches for the
+    same epoch index."""
+    pipe = TrainPipeline(SyntheticDataSource(n_items=4), batch_size=2,
+                         seed=0)
+    main = list(pipe.epoch(0, stream=0))
+    pre = list(pipe.epoch(0, stream=1))
+    again = list(pipe.epoch(0, stream=0))
+    assert not np.allclose(main[0]["hdr"], pre[0]["hdr"])
+    np.testing.assert_array_equal(main[0]["hdr"], again[0]["hdr"])
+
+
+def test_pipeline_early_abandon_stops_worker():
+    """Breaking out of an epoch mid-way must unblock the producer (no
+    thread parked on a full queue for the process lifetime)."""
+    import threading
+    pipe = TrainPipeline(SyntheticDataSource(n_items=64), batch_size=2,
+                         seed=0, prefetch=1)
+    n0 = threading.active_count()
+    for i, batch in enumerate(pipe.epoch(0)):
+        if i == 1:
+            break
+    deadline = time.time() + 5.0
+    while threading.active_count() > n0 and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= n0
+
+
+def test_video_ldr_pathway_consecutive_frames(tmp_path, rng):
+    """Video-mode LDR positives are consecutive frames t/t+1 with a
+    width-only crop and no resize (`ProcessedDatasetFolder.py:94-140`) —
+    not two augmentations of one static image."""
+    from uncltmo_tpu.data.pipeline import LambdaTable, TrainDataSource
+    scene = tmp_path / "vid" / "sceneA"
+    scene.mkdir(parents=True)
+    h, w = 256, 512
+    f0 = np.zeros((h, w, 3), np.float32)
+    f0[:, :, 0] = np.arange(w)[None, :]          # encode x in channel 0
+    f1 = f0 + 1000.0                              # frame 1 is offset
+    np.save(scene / "000.npy", f0)
+    np.save(scene / "001.npy", f1)
+    lam = tmp_path / "lams.npy"
+    np.save(lam, {"sceneA": 40.0})
+    src = TrainDataSource(
+        hdr_glob="", ldr_glob="",
+        lambda_table=LambdaTable(str(lam), 0.1),
+        srgb_video_glob=str(tmp_path / "vid" / "*" / "*.npy"))
+    frames = src._ldr_frames(str(scene / "000.npy"), rng, video=True)
+    assert frames.shape == (2, 256, 256, 1)
+    luma0 = frames[0, ..., 0] * 255.0            # undo /255
+    luma1 = frames[1, ..., 0] * 255.0
+    # frame 1 must come from the OFFSET next frame, not a re-crop of f0
+    assert luma1.min() >= luma0.max() + 100
+    # width-only crop: each row of frame 0 is a contiguous x-ramp
+    ramp = np.diff(luma0[0] / np.float32(P_REC601_R))
+    np.testing.assert_allclose(ramp, 1.0, atol=1e-3)
+
+
+P_REC601_R = 0.299
 
 
 def test_tile_engine_sharded_matches_unsharded():

@@ -97,7 +97,14 @@ class LambdaTable:
         self.default = default
         self.path = path
         self.table = {}
-        if path and path != "none" and os.path.exists(path):
+        if path and path != "none":
+            if not os.path.exists(path):
+                # the reference's np.load raises at the first sample
+                # (`ProcessedDatasetFolder.py:28`); failing at construction
+                # is strictly earlier/louder — a typo'd dict path must not
+                # silently yield an empty table
+                raise FileNotFoundError(
+                    f"lambda dict not found: {path!r}")
             self.table = np.load(path, allow_pickle=True)[()]
 
     def __call__(self, name: str) -> float:
@@ -142,21 +149,30 @@ class TrainDataSource:
             np.load(path, allow_pickle=True).astype(np.float32), rng,
             size=self.size)
 
+    def _video_rgb_frames(self, path: str, rng) -> list:
+        """Consecutive frames t, t+1 of a video scene, width-only 256-crop
+        with an INDEPENDENT x offset per frame — the reference samples xx
+        inside the per-frame loop (`ProcessedDatasetFolder.py:99-123`), so
+        its training pairs are NOT spatially aligned; reproduced as-is.
+        No resize (`:109-131`: the only spatial op is the width crop)."""
+        s = self.size
+        base = os.path.basename(path)
+        frame_id = int(os.path.splitext(base)[0])
+        nxt = path.replace(base, "%03d.npy" % (frame_id + 1))
+        paths = [path, nxt if os.path.exists(nxt) else path]
+        frames = []
+        for p in paths:
+            im = np.load(p, allow_pickle=True).astype(np.float32)
+            xx = rng.integers(0, max(im.shape[1] - s, 1))
+            frames.append(im[:s, xx:xx + s])
+        return frames
+
     def _hdr_frames(self, path: str, rng, video: bool) -> np.ndarray:
         """Two lambda-log luma frames (2, 256, 256, 1)."""
         frames = []
         if video:
             lam = self.video_lam(os.path.basename(os.path.dirname(path)))
-            base = os.path.basename(path)
-            frame_id = int(os.path.splitext(base)[0])
-            s = self.size
-            im0 = np.load(path, allow_pickle=True).astype(np.float32)
-            xx = rng.integers(0, max(im0.shape[1] - s, 1))
-            nxt = path.replace(base, "%03d.npy" % (frame_id + 1))
-            paths = [path, nxt if os.path.exists(nxt) else path]
-            for p in paths:
-                im = np.load(p, allow_pickle=True).astype(np.float32)
-                im = im[:s, xx:xx + s]
+            for im in self._video_rgb_frames(path, rng):
                 frames.append(hdr_log_input(_rgb_to_yuv_luma(im), lam))
         else:
             name = os.path.splitext(os.path.basename(path))[0]
@@ -166,24 +182,34 @@ class TrainDataSource:
                 frames.append(hdr_log_input(_rgb_to_yuv_luma(im), lam))
         return np.stack(frames)
 
-    def _ldr_frames(self, path: str, rng) -> np.ndarray:
-        frames = []
-        for _ in range(2):
-            im = self._load_static(path, rng)
-            frames.append(normalize_ldr(_rgb_to_yuv_luma(im),
-                                        self.normalization))
+    def _ldr_frames(self, path: str, rng, video: bool = False) -> np.ndarray:
+        """Two LDR luma frames.  Static pathway: one image, two independent
+        resize+crop augmentations (`ProcessedDatasetFolder.py:171-197`).
+        Video pathway: consecutive frames t/t+1 width-cropped, no resize
+        (`:94-140`, real_video and not hdrMode)."""
+        if video:
+            ims = self._video_rgb_frames(path, rng)
+        else:
+            ims = [self._load_static(path, rng) for _ in range(2)]
+        frames = [normalize_ldr(_rgb_to_yuv_luma(im), self.normalization)
+                  for im in ims]
         return np.stack(frames).astype(np.float32)
 
     # -- sampling -------------------------------------------------------
     def sample(self, rng: np.random.Generator) -> Dict[str, np.ndarray]:
-        use_video = (bool(self.hdr_video) and bool(self.srgb_video)
-                     and rng.uniform() >= 0.5)
-        hdr_path = (self.hdr_video if use_video else
-                    self.hdr_files)[rng.integers(len(
-                        self.hdr_video if use_video else self.hdr_files))]
-        hdr = self._hdr_frames(hdr_path, rng, use_video)
-        pos_pool = self.srgb_video if use_video else self.ldr_files
-        ldr_pos = self._ldr_frames(pos_pool[rng.integers(len(pos_pool))], rng)
+        """One training item.  The HDR stream and the LDR-positive stream
+        flip their 50/50 static-vs-video choice INDEPENDENTLY — they are
+        separate DataLoaders in the reference, each running its own
+        `__getitem__` coin flip (`ProcessedDatasetFolder.py:290-301`); the
+        negative stream is always static (`:286-289`, ldrNegMode)."""
+        hdr_video = (bool(self.hdr_video) and rng.uniform() >= 0.5)
+        hdr_pool = self.hdr_video if hdr_video else self.hdr_files
+        hdr = self._hdr_frames(hdr_pool[rng.integers(len(hdr_pool))], rng,
+                               hdr_video)
+        pos_video = (bool(self.srgb_video) and rng.uniform() >= 0.5)
+        pos_pool = self.srgb_video if pos_video else self.ldr_files
+        ldr_pos = self._ldr_frames(pos_pool[rng.integers(len(pos_pool))],
+                                   rng, pos_video)
         neg_pool = self.neg_ldr if self.neg_ldr else self.ldr_files
         ldr_neg = self._ldr_frames(neg_pool[rng.integers(len(neg_pool))], rng)
         return {"hdr": hdr, "ldr_pos": ldr_pos, "ldr_neg": ldr_neg}
@@ -210,15 +236,15 @@ class SyntheticDataSource:
 
 
 class TrainPipeline:
-    """Batched iterator with threaded prefetch."""
+    """Batched iterator with single-producer threaded prefetch (one
+    producer keeps batch order deterministic for a given seed)."""
 
     def __init__(self, source, batch_size: int, seed: int = 0,
-                 prefetch: int = 2, num_threads: int = 4):
+                 prefetch: int = 2):
         self.source = source
         self.batch_size = batch_size
         self.seed = seed
         self.prefetch = prefetch
-        self.num_threads = num_threads
 
     def steps_per_epoch(self) -> int:
         return max(len(self.source) // self.batch_size, 1)
@@ -227,22 +253,52 @@ class TrainPipeline:
         items = [self.source.sample(rng) for _ in range(self.batch_size)]
         return {k: np.stack([it[k] for it in items]) for k in items[0]}
 
-    def epoch(self, epoch_idx: int) -> Iterator[Dict[str, np.ndarray]]:
-        """Yield one epoch of batches, produced by a background thread."""
+    def epoch(self, epoch_idx: int,
+              stream: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+        """Yield one epoch of batches, produced by a background thread.
+
+        `stream` separates RNG streams that share epoch indices (e.g. the
+        D-pretrain phase vs the main run — with a shared stream, pretrain
+        epoch i and main epoch i would replay byte-identical batches).
+
+        A producer-side exception is re-raised in the consumer (a dead
+        worker must not hang training in q.get), and abandoning the
+        generator early (break / exception upstream) unblocks and stops
+        the producer instead of leaking it on a full queue.
+        """
         n = self.steps_per_epoch()
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
         rng = np.random.default_rng(
-            np.random.SeedSequence([self.seed, epoch_idx]))
+            np.random.SeedSequence([self.seed, stream, epoch_idx]))
+
+        def _put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker():
-            for _ in range(n):
-                q.put(self._make_batch(rng))
-            q.put(None)
+            try:
+                for _ in range(n):
+                    if not _put(self._make_batch(rng)):
+                        return
+                _put(None)
+            except BaseException as e:       # noqa: BLE001 — re-raised below
+                _put(e)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            batch = q.get()
-            if batch is None:
-                return
-            yield batch
+        try:
+            while True:
+                batch = q.get()
+                if batch is None:
+                    return
+                if isinstance(batch, BaseException):
+                    raise batch
+                yield batch
+        finally:
+            stop.set()

@@ -141,6 +141,9 @@ def tmqi(hdr_image: np.ndarray, ldr_image: np.ndarray):
     numpy arrays, returns (Q, S, N, s_local, s_maps)."""
     hdr = np.asarray(hdr_image, np.float32)
     ldr = np.asarray(ldr_image, np.float32)
+    # the reference asserts equal shapes up front (`TMQI.py:94`); without
+    # it an RGB-vs-gray mix reaches the conv code and dies obscurely
+    assert hdr.shape == ldr.shape, (hdr.shape, ldr.shape)
     if hdr.ndim == 3 and ldr.ndim == 3:
         hdr = np.asarray(to_gray_709(jnp.asarray(hdr)))
         ldr = np.asarray(to_gray_709(jnp.asarray(ldr)))

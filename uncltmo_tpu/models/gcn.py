@@ -70,7 +70,12 @@ def dense_knn(nodes: jnp.ndarray, k: int, rel_pos: jnp.ndarray) -> jnp.ndarray:
     x = x * jax.lax.rsqrt(
         jnp.sum(x * x, axis=-1, keepdims=True) + 1e-24)
     sq = jnp.sum(x * x, axis=-1, keepdims=True)        # (B, N, 1)
-    dist = sq - 2.0 * jnp.einsum("bnc,bmc->bnm", x, x) + jnp.swapaxes(sq, 1, 2)
+    # full precision: under jax_default_matmul_precision='bfloat16' the
+    # cancellation-prone sq - 2xy + sq^T would flip near-tie neighbour
+    # rankings vs the reference's f32 KNN (cost is negligible at N=144)
+    dist = (sq - 2.0 * jnp.einsum("bnc,bmc->bnm", x, x,
+                                  precision=jax.lax.Precision.HIGHEST)
+            + jnp.swapaxes(sq, 1, 2))
     dist = dist + rel_pos[None]
     _, idx = jax.lax.top_k(-dist, k)
     return idx
@@ -86,10 +91,20 @@ class GroupedDense(nn.Module):
     def __call__(self, x):  # x: (B, N, C)
         b, n, c = x.shape
         g = self.groups
-        kernel = self.param(
-            "kernel",
-            nn.initializers.variance_scaling(2.0, "fan_in", "normal"),
-            (g, c // g, self.features // g))
+
+        def grouped_xavier_gain2(key, shape, dtype=jnp.float32):
+            # torch xavier_normal_(gain=sqrt(2)) on the grouped Conv2d
+            # weight (O, I/g, 1, 1): fan_in = I/g (per group), fan_out = O
+            # (`model_save_util.py:41-47` applied to `torch_nn.py:54-78`).
+            # flax variance_scaling would count the group dim into fan_in
+            # (= full I), starting this one layer ~21% smaller than every
+            # other xavier_gain2 layer.
+            _, in_pg, out_pg = shape
+            std = np.sqrt(2.0) * np.sqrt(2.0 / (in_pg + out_pg * g))
+            return jax.random.normal(key, shape, dtype) * std
+
+        kernel = self.param("kernel", grouped_xavier_gain2,
+                            (g, c // g, self.features // g))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         y = jnp.einsum("bngi,gio->bngo", x.reshape(b, n, g, c // g), kernel)
         return y.reshape(b, n, self.features) + bias

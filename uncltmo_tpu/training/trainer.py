@@ -184,7 +184,10 @@ class GanTrainer:
         denom = 8 if (self.video and 4 <= epoch <= 7) else 4
         summary_every = max(steps // denom, 1)
         t0 = time.time()
-        for it, batch in enumerate(self.pipeline.epoch(epoch), start=1):
+        # pretrain uses a separate RNG stream: it shares epoch indices
+        # with the main run and must not replay identical batches
+        batches = self.pipeline.epoch(epoch, stream=1 if pretrain else 0)
+        for it, batch in enumerate(batches, start=1):
             self.num_iter += 1
             batch = self._maybe_add_weight_channel(batch, pretrain)
             self.rng, step_rng = jax.random.split(self.rng)
