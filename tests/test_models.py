@@ -94,6 +94,33 @@ def test_convt3x3_matches_torch():
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)
 
 
+def test_conv3x3_pad1_replicate_matches_torch():
+    """The pad=1 conv path (doubleConvTranspose=0, up_mode=0 configs) must
+    replicate-pad like the reference's Conv2d(padding=1,
+    padding_mode='replicate') (`unet_parts.py:20-28`), not zero-pad."""
+    torch = pytest.importorskip("torch")
+    from uncltmo_tpu.models.blocks import Conv3x3
+
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((2, 8, 9, 3)).astype(np.float32)
+    w = rng.standard_normal((4, 3, 3, 3)).astype(np.float32)
+    b = rng.standard_normal((4,)).astype(np.float32)
+
+    conv_t = torch.nn.Conv2d(3, 4, 3, padding=1, padding_mode="replicate")
+    with torch.no_grad():
+        conv_t.weight.copy_(torch.tensor(w))
+        conv_t.bias.copy_(torch.tensor(b))
+        ref = conv_t(torch.tensor(x.transpose(0, 3, 1, 2))) \
+            .numpy().transpose(0, 2, 3, 1)
+
+    mod = Conv3x3(4, pad=1, padding_mode="edge")
+    variables = {"params": {"Conv_0": {
+        "kernel": jnp.asarray(w.transpose(2, 3, 1, 0)),
+        "bias": jnp.asarray(b)}}}
+    out = mod.apply(variables, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-5)
+
+
 def test_upconvt2x2_matches_torch():
     """Einsum upsample == torch ConvTranspose2d(2,2,0)."""
     torch = pytest.importorskip("torch")

@@ -47,18 +47,30 @@ def _maybe_norm(unet_norm: str, x: jnp.ndarray) -> jnp.ndarray:
         mu = jnp.mean(x, axis=(1, 2), keepdims=True)
         var = jnp.var(x, axis=(1, 2), keepdims=True)
         return (x - mu) * jax.lax.rsqrt(var + 1e-5)
-    raise ValueError(f"Unsupported unet_norm: {unet_norm}")
+    raise ValueError(
+        f"Unsupported norm: {unet_norm!r} (supported: 'none', "
+        "'instance_norm'; the reference's 'batch_norm' needs mutable "
+        "running statistics and is deliberately not implemented — no "
+        "published config uses it)")
 
 
 class Conv3x3(nn.Module):
-    """3x3 conv, stride 1.  `pad` in {0: valid, 1: zero-SAME}."""
+    """3x3 conv, stride 1.  `pad` in {0: valid, 1: SAME with the model's
+    padding_mode} — the reference's double_conv passes padding_mode
+    ('replicate' in the published config) to nn.Conv2d
+    (`unet_parts.py:20-28`), so padded convs must replicate-pad, not
+    zero-pad."""
     features: int
     pad: int = 0
+    padding_mode: str = "edge"
 
     @nn.compact
     def __call__(self, x):
-        padding = "VALID" if self.pad == 0 else [(1, 1), (1, 1)]
-        return nn.Conv(self.features, (3, 3), padding=padding,
+        if self.pad:
+            mode = ("constant" if self.padding_mode in ("zeros", "constant")
+                    else self.padding_mode)
+            x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode=mode)
+        return nn.Conv(self.features, (3, 3), padding="VALID",
                        kernel_init=xavier_gain2)(x)
 
 
@@ -127,12 +139,14 @@ class DoubleConv(nn.Module):
     activation: str = "relu"
     pad: int = 0
     post_pad_replicate: bool = False
+    padding_mode: str = "edge"
 
     @nn.compact
     def __call__(self, x):
         act = activation_fn(self.activation)
         for i in range(2):
-            x = Conv3x3(self.out_ch, self.pad, name=f"conv{i}")(x)
+            x = Conv3x3(self.out_ch, self.pad, self.padding_mode,
+                        name=f"conv{i}")(x)
             if self.post_pad_replicate:
                 x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
             x = _maybe_norm(self.unet_norm, x)
@@ -166,11 +180,13 @@ class DoubleLastConv(nn.Module):
     pad: int = 0
     double_conv_transpose: bool = True
     post_pad_replicate: bool = False
+    padding_mode: str = "edge"
 
     @nn.compact
     def __call__(self, x):
         act = activation_fn(self.activation)
-        x = Conv3x3(self.out_ch, self.pad, name="conv")(x)
+        x = Conv3x3(self.out_ch, self.pad, self.padding_mode,
+                    name="conv")(x)
         if self.post_pad_replicate:
             x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
         x = _maybe_norm(self.unet_norm, x)
@@ -266,6 +282,7 @@ class Up(nn.Module):
             x = DoubleConv(self.out_ch, self.unet_norm, self.activation,
                            pad=self.pad,
                            post_pad_replicate=self.up_mode,
+                           padding_mode=self.padding_mode,
                            name="conv")(x)
         return x
 

@@ -70,6 +70,31 @@ class SimpleDiscriminator(nn.Module):
         return out, fea_final.reshape(fea_final.shape[0], 1, 1, -1)
 
 
+class SimpleDTrunk(nn.Module):
+    """SimpleDiscriminator's conv trunk only (`Discriminator.py:95-109`,
+    `self.model`): what MultiscaleDiscriminator registers per scale — the
+    reference stores `netD.model`, NOT the full module
+    (`Discriminator.py:203`), so multiscale sub-discriminators have no
+    tail Linear and return the raw score map."""
+    dim: int = 16
+    simpleD_maxpool: bool = False
+    padding: int = 0
+
+    @nn.compact
+    def __call__(self, x):
+        lrelu = activation_fn("leakyrelu")
+        pad = _pad_arg(self.padding)
+        x = nn.Conv(self.dim, (4, 4), strides=(2, 2), padding=pad,
+                    kernel_init=xavier_gain2, name="conv0")(x)
+        x = lrelu(x)
+        x = nn.Conv(self.dim * 2, (4, 4), strides=(2, 2), padding=pad,
+                    kernel_init=xavier_gain2, name="conv1")(x)
+        if self.simpleD_maxpool:
+            return jnp.max(x, axis=(1, 2), keepdims=True)
+        x = lrelu(x)
+        return nn.Conv(1, (1, 1), kernel_init=xavier_gain2, name="conv2")(x)
+
+
 class DCGANDiscriminator(nn.Module):
     """Legacy DCGAN-style discriminator (reference `Discriminator.py:8-48`,
     d_model="original"/"dcgan"): conv4s2p1 stack halving the map until 8 px
@@ -86,8 +111,11 @@ class DCGANDiscriminator(nn.Module):
     def __call__(self, x):
         lrelu = activation_fn("leakyrelu")
         pad = [(1, 1), (1, 1)]
+        # every reference layer is Blocks.Conv2dBlock, which hardcodes
+        # bias=False (`Blocks.py:9-11`)
         x = nn.Conv(self.dim, (4, 4), strides=(2, 2), padding=pad,
-                    kernel_init=xavier_gain2, name="conv_in")(x)
+                    use_bias=False, kernel_init=xavier_gain2,
+                    name="conv_in")(x)
         x = lrelu(x)
         if self.d_fully_connected:
             n_downsample = self.d_nlayers
@@ -100,11 +128,13 @@ class DCGANDiscriminator(nn.Module):
         for i in range(n_downsample):
             dim = min(dim * 2, 512)
             x = nn.Conv(dim, (4, 4), strides=(2, 2), padding=pad,
-                        kernel_init=xavier_gain2, name=f"down{i}")(x)
+                        use_bias=False, kernel_init=xavier_gain2,
+                        name=f"down{i}")(x)
             x = _maybe_norm(self.norm, x)
             x = lrelu(x)
         x = nn.Conv(1, (4, 4), strides=(1, 1), padding="VALID",
-                    kernel_init=xavier_gain2, name="conv_out")(x)
+                    use_bias=False, kernel_init=xavier_gain2,
+                    name="conv_out")(x)
         if self.d_fully_connected:
             x = nn.Dense(1, use_bias=False, kernel_init=xavier_gain2,
                          name="fc")(x.reshape(x.shape[0], -1))
@@ -114,10 +144,15 @@ class DCGANDiscriminator(nn.Module):
 
 
 class NLayerDiscriminator(nn.Module):
-    """PatchGAN discriminator (reference `Discriminator.py:129-167`)."""
+    """PatchGAN discriminator (reference `Discriminator.py:129-167`).
+
+    The reference default norm is batch_norm; this port supports
+    'instance_norm'/'none' and fails loudly on 'batch_norm' (flax
+    BatchNorm would need mutable running statistics threaded through
+    every apply — not worth it for a variant the trainer rejects)."""
     ndf: int = 64
     n_layers: int = 3
-    norm: str = "batch_norm"
+    norm: str = "none"
     last_activation: str = "none"
 
     @nn.compact
@@ -132,12 +167,14 @@ class NLayerDiscriminator(nn.Module):
             nf = min(2 ** n, 8)
             x = nn.Conv(self.ndf * nf, (4, 4), strides=(2, 2), padding=pad,
                         use_bias=False, kernel_init=xavier_gain2)(x)
-            x = _maybe_norm("instance_norm" if self.norm == "instance_norm"
-                            else "none", x)
+            x = _maybe_norm(self.norm, x)
             x = lrelu(x)
         nf = min(2 ** self.n_layers, 8)
+        # the reference's stride-1 pre-final block is also a Conv2dBlock
+        # with the SAME norm (`Discriminator.py:154-158`)
         x = nn.Conv(self.ndf * nf, (4, 4), strides=(1, 1), padding=pad,
                     use_bias=False, kernel_init=xavier_gain2)(x)
+        x = _maybe_norm(self.norm, x)
         x = lrelu(x)
         x = nn.Conv(1, (4, 4), strides=(1, 1), padding=pad,
                     kernel_init=xavier_gain2)(x)
@@ -177,10 +214,8 @@ class MultiscaleDiscriminator(nn.Module):
                                         self.last_activation,
                                         name=f"layer{i}")
             else:
-                d = SimpleDiscriminator(size, self.dim, self.norm,
-                                        self.last_activation,
-                                        self.simpleD_maxpool,
-                                        self.padding, name=f"layer{i}")
+                d = SimpleDTrunk(self.dim, self.simpleD_maxpool,
+                                 self.padding, name=f"layer{i}")
                 size //= 2
             results.append(d(x))
             if i != self.num_D - 1:

@@ -86,19 +86,22 @@ class UNetTMO(nn.Module):
         ppr = self.up_mode and not self.double_conv_transpose
         self.inc = blocks.DoubleConv(f, self.unet_norm, self.activation,
                                      pad=pad, post_pad_replicate=ppr,
+                                     padding_mode=self.padding_mode,
                                      name="inc")
         downs = []
         ch = f
         for i in range(self.depth - 1):
             downs.append(blocks.DoubleConv(
                 ch * 2, self.unet_norm, self.activation, pad=pad,
-                post_pad_replicate=ppr, name=f"down{i}"))
+                post_pad_replicate=ppr, padding_mode=self.padding_mode,
+                name=f"down{i}"))
             ch *= 2
         self.downs = downs
         self.last_down = blocks.DoubleLastConv(
             ch, self.unet_norm, self.activation, pad=pad,
             double_conv_transpose=self.double_conv_transpose,
-            post_pad_replicate=ppr, name="last_down")
+            post_pad_replicate=ppr, padding_mode=self.padding_mode,
+            name="last_down")
         self.gcn = GCNBlock(ch, grid=self.gcn_grid, name="gcn")
         ups = []
         for i in range(self.depth):

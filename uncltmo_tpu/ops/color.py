@@ -106,9 +106,16 @@ def _two_percentiles(x: jnp.ndarray, lo: float, hi: float):
 
 
 def to_01_outlier(im: jnp.ndarray) -> jnp.ndarray:
-    """Percentile stretch to [0,1]: 99.0 / 0.1 percentiles, then clip."""
+    """Percentile stretch to [0,1]: 99.0 / 0.1 percentiles, then clip.
+
+    On a constant image the reference adds epsilon to the denominator
+    instead of dividing 0/0 (`hdr_image_util.py:98-101`) — same here, as
+    a branchless select (jit-safe)."""
+    from uncltmo_tpu import params as P
     im_min, im_max = _two_percentiles(im, 0.1, 99.0)
-    im = (im - im_min) / (im_max - im_min)
+    denom = im_max - im_min
+    denom = jnp.where(denom == 0.0, denom + P.EPSILON, denom)
+    im = (im - im_min) / denom
     return jnp.clip(im, 0.0, 1.0)
 
 
