@@ -29,7 +29,7 @@ class Options:
     num_epochs: int = 1
     G_lr: float = 2e-4
     D_lr: float = 2e-4
-    lr_decay_step: float = 1
+    lr_decay_step: float = 1.0
     d_pretrain_epochs: int = 5
     use_xaviar: int = 1
     # ====== SLIDER MODE ======

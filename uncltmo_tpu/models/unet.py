@@ -207,6 +207,15 @@ def make_generator(opt=None, **overrides) -> UNetTMO:
     """Build a generator from a config object with reference flag names."""
     kw: dict = {}
     if opt is not None:
+        ctk = int(getattr(opt, "convtranspose_kernel", 2))
+        if ctk != 2:
+            # the upsample implementations (einsum / native ConvT) are
+            # built for the published k=2 s=2 kernel; loading a k!=2
+            # checkpoint would otherwise die with an opaque flax shape
+            # mismatch deep inside apply
+            raise ValueError(
+                f"convtranspose_kernel={ctk} is not supported (published "
+                "configs use 2; see blocks.UpConvT2x2)")
         kw = dict(
             n_channels=opt.input_dim, output_dim=opt.output_dim,
             last_layer=opt.last_layer, depth=opt.unet_depth,

@@ -26,9 +26,17 @@ DATA_AXIS = "data"
 
 def get_mesh(n_devices: Optional[int] = None,
              devices=None) -> Mesh:
-    """1-D data-parallel mesh over the first n_devices."""
+    """1-D data-parallel mesh over the first n_devices.
+
+    Raises when fewer than n_devices are available — silently returning a
+    smaller mesh would either trip a confusing divisibility error
+    downstream or quietly run at reduced parallelism."""
     devs = list(devices if devices is not None else jax.devices())
     if n_devices:
+        if len(devs) < n_devices:
+            raise ValueError(
+                f"requested a {n_devices}-device mesh but only "
+                f"{len(devs)} devices are available")
         devs = devs[:n_devices]
     return Mesh(np.asarray(devs), (DATA_AXIS,))
 

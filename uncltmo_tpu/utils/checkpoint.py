@@ -37,7 +37,12 @@ def save_train_state(models_dir: str, epoch: int, epoch_iter: int,
 
 
 def load_train_state(path: str, template):
-    """Restore a TrainState into the structure of `template`."""
+    """Restore a TrainState into the structure of `template`.
+
+    Resume metadata comes from the sidecar .meta.json when present, else
+    from the epoch/iter encoded in the filename — a missing sidecar (crash
+    between the two writes, or a copy that took only the .msgpack) must
+    not silently restart the LR schedule and stage mix at epoch 0."""
     with open(path, "rb") as f:
         data = f.read()
     state = flax.serialization.from_bytes(template, data)
@@ -46,15 +51,34 @@ def load_train_state(path: str, template):
     if os.path.exists(meta_path):
         with open(meta_path) as f:
             meta = json.load(f)
+    else:
+        ei = _epoch_iter_of(os.path.basename(path))
+        if ei is not None:
+            meta = {"epoch": ei[0], "epoch_iter": ei[1]}
     return state, meta
 
 
+def _epoch_iter_of(name: str):
+    """(epoch, iter) parsed from net_epoch{E}_iter{I}.msgpack, else None."""
+    import re
+    m = re.match(r"net_epoch(\d+)_iter(\d+)\.msgpack$", name)
+    return (int(m.group(1)), int(m.group(2))) if m else None
+
+
 def latest_checkpoint(models_dir: str) -> Optional[str]:
+    """Newest checkpoint by the (epoch, iter) encoded in the filename —
+    file mtimes are unreliable after a cp/rsync/tar restore (mtime order
+    can invert, silently resuming older weights); falls back to mtime only
+    for files that don't match the naming scheme."""
     if not os.path.isdir(models_dir):
         return None
     cands = [f for f in os.listdir(models_dir) if f.endswith(".msgpack")]
     if not cands:
         return None
+    named = [(f, _epoch_iter_of(f)) for f in cands]
+    parsed = [(ei, f) for f, ei in named if ei is not None]
+    if parsed:
+        return os.path.join(models_dir, max(parsed)[1])
     cands.sort(key=lambda f: os.path.getmtime(os.path.join(models_dir, f)))
     return os.path.join(models_dir, cands[-1])
 

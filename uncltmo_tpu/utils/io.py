@@ -38,15 +38,37 @@ def read_hdr_image(path: str) -> np.ndarray:
             raise IOError(f"cv2 failed to read {path}")
         return cv2.cvtColor(im, cv2.COLOR_BGR2RGB).astype("float32")
     if _HAS_IMAGEIO:
-        return np.asarray(imageio.imread(path)).astype("float32")
+        try:
+            return np.asarray(imageio.imread(path)).astype("float32")
+        except Exception as e:
+            raise IOError(
+                f"imageio failed to read {path!r}: {e} (note: .dng/.exr "
+                "need imageio's FreeImage plugin, a separate download — "
+                "the reference has the same dependency, "
+                "`hdr_image_util.py:35-53`)") from e
     raise IOError(f"no reader available for {path}")
 
 
 def read_ldr_image(path: str) -> np.ndarray:
+    """Read an LDR image to float32 RGB in [0, 1].
+
+    Normalizes by the integer dtype's full range (a 16-bit PNG would
+    otherwise come out in [0, 257]) and drops any alpha channel — the
+    metric CLIs feed this arbitrary external directories."""
     if _HAS_IMAGEIO:
-        return np.asarray(imageio.imread(path)).astype("float32") / 255.0
-    im = cv2.imread(path, cv2.IMREAD_COLOR)
-    return cv2.cvtColor(im, cv2.COLOR_BGR2RGB).astype("float32") / 255.0
+        im = np.asarray(imageio.imread(path))
+    elif _HAS_CV2:
+        bgr = cv2.imread(path, cv2.IMREAD_COLOR)
+        if bgr is None:
+            raise IOError(f"cv2 could not decode {path}")
+        im = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
+    else:
+        raise IOError(f"no reader available for {path}")
+    scale = 255.0 if im.dtype != np.uint16 else 65535.0
+    im = im.astype("float32") / scale
+    if im.ndim == 3 and im.shape[-1] == 4:
+        im = im[..., :3]
+    return im
 
 
 def save_uint8_png(im01: np.ndarray, output_path: str, im_name: str) -> str:
