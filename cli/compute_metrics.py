@@ -109,7 +109,8 @@ def cmd_fid(args):
     from uncltmo_tpu.metrics.fid import calculate_fid_given_paths
     fid = calculate_fid_given_paths([args.real_dir, args.fake_dir],
                                     batch_size=args.batch_size, dims=768,
-                                    small_dset=bool(args.small_dset))
+                                    small_dset=bool(args.small_dset),
+                                    weights_path=args.inception_weights)
     print(f"FID: {fid:.4f}")
     _save(args.output, {"fid": fid})
 
@@ -160,6 +161,12 @@ def main(argv=None):
     f.add_argument("--batch_size", type=int, default=20)
     f.add_argument("--small_dset", type=int, default=0,
                    help="use the fid_score_small_dset.py protocol variant")
+    f.add_argument("--inception_weights", required=True,
+                   help="InceptionV3 state dict (.pth or converted .npz): "
+                        "the pytorch-fid pt_inception-2015-12-05 release "
+                        "(URL in the reference's fid/inception.py:13) or "
+                        "any torchvision inception_v3 weights. Required — "
+                        "FID on random weights is garbage.")
     f.add_argument("--output", default="")
     b = sub.add_parser("btmqi")
     b.add_argument("--ldr_dir", required=True)

@@ -205,3 +205,173 @@ def test_warp_error_baseline_flow_source():
                                 algo="DIS")
     assert np.isfinite(e1) and np.isfinite(e2)
     assert e1 < 0.5 * e1_noflow
+
+
+# ---------------------------------------------------------------------------
+# Native InceptionV3 trunk (FID feature extractor)
+# ---------------------------------------------------------------------------
+def _torch_fid_trunk():
+    """Independent torch oracle of the FID-patched InceptionV3 trunk
+    (stem -> Mixed_6e), mirroring torchvision's module/parameter naming so
+    its state_dict feeds `convert_inception_state_dict` directly.
+    Architecture per torchvision inception + the FID pooling patch
+    (`/root/reference/fid/inception.py:195-214`)."""
+    import torch
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    class BasicConv2d(nn.Module):
+        def __init__(self, cin, cout, **kw):
+            super().__init__()
+            self.conv = nn.Conv2d(cin, cout, bias=False, **kw)
+            self.bn = nn.BatchNorm2d(cout, eps=0.001)
+
+        def forward(self, x):
+            return F.relu(self.bn(self.conv(x)))
+
+    class IncA(nn.Module):
+        def __init__(self, cin, pool_features):
+            super().__init__()
+            self.branch1x1 = BasicConv2d(cin, 64, kernel_size=1)
+            self.branch5x5_1 = BasicConv2d(cin, 48, kernel_size=1)
+            self.branch5x5_2 = BasicConv2d(48, 64, kernel_size=5, padding=2)
+            self.branch3x3dbl_1 = BasicConv2d(cin, 64, kernel_size=1)
+            self.branch3x3dbl_2 = BasicConv2d(64, 96, kernel_size=3,
+                                              padding=1)
+            self.branch3x3dbl_3 = BasicConv2d(96, 96, kernel_size=3,
+                                              padding=1)
+            self.branch_pool = BasicConv2d(cin, pool_features, kernel_size=1)
+
+        def forward(self, x):
+            import torch
+            b1 = self.branch1x1(x)
+            b5 = self.branch5x5_2(self.branch5x5_1(x))
+            b3 = self.branch3x3dbl_3(self.branch3x3dbl_2(
+                self.branch3x3dbl_1(x)))
+            bp = self.branch_pool(F.avg_pool2d(
+                x, 3, stride=1, padding=1, count_include_pad=False))
+            return torch.cat([b1, b5, b3, bp], 1)
+
+    class IncB(nn.Module):
+        def __init__(self, cin):
+            super().__init__()
+            self.branch3x3 = BasicConv2d(cin, 384, kernel_size=3, stride=2)
+            self.branch3x3dbl_1 = BasicConv2d(cin, 64, kernel_size=1)
+            self.branch3x3dbl_2 = BasicConv2d(64, 96, kernel_size=3,
+                                              padding=1)
+            self.branch3x3dbl_3 = BasicConv2d(96, 96, kernel_size=3,
+                                              stride=2)
+
+        def forward(self, x):
+            import torch
+            b3 = self.branch3x3(x)
+            bd = self.branch3x3dbl_3(self.branch3x3dbl_2(
+                self.branch3x3dbl_1(x)))
+            bp = F.max_pool2d(x, 3, stride=2)
+            return torch.cat([b3, bd, bp], 1)
+
+    class IncC(nn.Module):
+        def __init__(self, cin, c7):
+            super().__init__()
+            self.branch1x1 = BasicConv2d(cin, 192, kernel_size=1)
+            self.branch7x7_1 = BasicConv2d(cin, c7, kernel_size=1)
+            self.branch7x7_2 = BasicConv2d(c7, c7, kernel_size=(1, 7),
+                                           padding=(0, 3))
+            self.branch7x7_3 = BasicConv2d(c7, 192, kernel_size=(7, 1),
+                                           padding=(3, 0))
+            self.branch7x7dbl_1 = BasicConv2d(cin, c7, kernel_size=1)
+            self.branch7x7dbl_2 = BasicConv2d(c7, c7, kernel_size=(7, 1),
+                                              padding=(3, 0))
+            self.branch7x7dbl_3 = BasicConv2d(c7, c7, kernel_size=(1, 7),
+                                              padding=(0, 3))
+            self.branch7x7dbl_4 = BasicConv2d(c7, c7, kernel_size=(7, 1),
+                                              padding=(3, 0))
+            self.branch7x7dbl_5 = BasicConv2d(c7, 192, kernel_size=(1, 7),
+                                              padding=(0, 3))
+            self.branch_pool = BasicConv2d(cin, 192, kernel_size=1)
+
+        def forward(self, x):
+            import torch
+            b1 = self.branch1x1(x)
+            b7 = self.branch7x7_3(self.branch7x7_2(self.branch7x7_1(x)))
+            bd = self.branch7x7dbl_5(self.branch7x7dbl_4(
+                self.branch7x7dbl_3(self.branch7x7dbl_2(
+                    self.branch7x7dbl_1(x)))))
+            bp = self.branch_pool(F.avg_pool2d(
+                x, 3, stride=1, padding=1, count_include_pad=False))
+            return torch.cat([b1, b7, bd, bp], 1)
+
+    class Trunk(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.Conv2d_1a_3x3 = BasicConv2d(3, 32, kernel_size=3, stride=2)
+            self.Conv2d_2a_3x3 = BasicConv2d(32, 32, kernel_size=3)
+            self.Conv2d_2b_3x3 = BasicConv2d(32, 64, kernel_size=3,
+                                             padding=1)
+            self.Conv2d_3b_1x1 = BasicConv2d(64, 80, kernel_size=1)
+            self.Conv2d_4a_3x3 = BasicConv2d(80, 192, kernel_size=3)
+            self.Mixed_5b = IncA(192, 32)
+            self.Mixed_5c = IncA(256, 64)
+            self.Mixed_5d = IncA(288, 64)
+            self.Mixed_6a = IncB(288)
+            self.Mixed_6b = IncC(768, 128)
+            self.Mixed_6c = IncC(768, 160)
+            self.Mixed_6d = IncC(768, 160)
+            self.Mixed_6e = IncC(768, 192)
+
+        def forward(self, x):
+            x = self.Conv2d_2b_3x3(self.Conv2d_2a_3x3(self.Conv2d_1a_3x3(x)))
+            x = F.max_pool2d(x, 3, stride=2)
+            x = self.Conv2d_4a_3x3(self.Conv2d_3b_1x1(x))
+            x = F.max_pool2d(x, 3, stride=2)
+            for m in (self.Mixed_5b, self.Mixed_5c, self.Mixed_5d,
+                      self.Mixed_6a, self.Mixed_6b, self.Mixed_6c,
+                      self.Mixed_6d, self.Mixed_6e):
+                x = m(x)
+            return x
+
+    return Trunk()
+
+
+def test_inception_trunk_matches_torch_oracle(tmp_path):
+    """Flax trunk + folded-BN conversion vs the torch oracle on random
+    weights/input: max |diff| small relative to activation scale, and the
+    end-to-end extractor (2x-1 scaling + adaptive 17->8 pool) matches."""
+    import torch
+    from uncltmo_tpu.metrics.inception import make_inception_extractor
+
+    torch.manual_seed(0)
+    net = _torch_fid_trunk().eval()
+    # randomize BN stats away from (0, 1) so folding is actually exercised
+    with torch.no_grad():
+        for m in net.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.05)
+                m.running_var.uniform_(0.5, 1.5)
+                m.weight.normal_(1.0, 0.05)
+                m.bias.normal_(0, 0.05)
+    wpath = tmp_path / "inception.pth"
+    torch.save(net.state_dict(), wpath)
+
+    rng = np.random.default_rng(0)
+    batch = rng.random((2, 299, 299, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref = net(torch.tensor(batch.transpose(0, 3, 1, 2)) * 2.0 - 1.0)
+        ref = torch.nn.functional.adaptive_avg_pool2d(ref, (8, 8))
+    ref = ref.numpy().transpose(0, 2, 3, 1)
+
+    extractor = make_inception_extractor(str(wpath))
+    out = extractor(batch)
+    assert out.shape == (2, 8, 8, 768)
+    scale = np.abs(ref).max()
+    assert np.abs(out - ref).max() < 2e-3 * max(scale, 1.0), \
+        (np.abs(out - ref).max(), scale)
+
+
+def test_fid_requires_weights():
+    from uncltmo_tpu.metrics.fid import calculate_fid_given_paths
+    from uncltmo_tpu.metrics.inception import load_inception_params
+    with pytest.raises(RuntimeError, match="weights"):
+        calculate_fid_given_paths(["a", "b"])
+    with pytest.raises(FileNotFoundError, match="Inception weights"):
+        load_inception_params("/nonexistent/weights.pth")

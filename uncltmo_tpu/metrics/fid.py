@@ -9,12 +9,14 @@ Re-design of `fid/fid_score.py` (a pytorch-fid fork):
   * at most 900 images per side (`:259-261`),
   * Frechet distance between Gaussian fits (`:166-220`).
 
-The Inception feature extractor is pluggable: torchvision + the pytorch-fid
-weights are not in this image (zero egress), so `calculate_fid_given_paths`
-accepts any `extractor(batch_nhwc_float01) -> (N, 8, 8, dims)` callable and
-ships a torch-based one that activates when a local torchvision install +
-weights file exist.  The statistical protocol and distance are fully
-implemented and tested.
+The Inception feature extractor is the native Flax trunk in
+`uncltmo_tpu.metrics.inception` (activation-parity-tested against a torch
+implementation of the same FID-patched architecture) and HARD-REQUIRES a
+weights file — the pytorch-fid release weights (`fid/inception.py:13`) or
+any torchvision inception_v3 state dict.  There is no random-weight
+fallback: FID from an untrained network is garbage that looks like a
+number.  `calculate_fid_given_paths` also accepts any custom
+`extractor(batch_nhwc_float01) -> (N, 8, 8, dims)` callable.
 """
 from __future__ import annotations
 
@@ -84,34 +86,6 @@ def frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6) -> float:
                  - 2 * np.trace(covmean))
 
 
-def make_torch_inception_extractor(weights_path: Optional[str] = None,
-                                   dims: int = 768) -> Optional[Callable]:
-    """InceptionV3 pre-aux features via torchvision, if available locally."""
-    try:
-        import torch
-        from torchvision.models import inception_v3
-    except Exception:
-        return None
-    net = inception_v3(weights=None, aux_logits=True, init_weights=False)
-    if weights_path and os.path.exists(weights_path):
-        net.load_state_dict(torch.load(weights_path, map_location="cpu"),
-                            strict=False)
-    net.eval()
-
-    def extractor(batch_nhwc: np.ndarray) -> np.ndarray:
-        x = torch.tensor(batch_nhwc.transpose(0, 3, 1, 2))
-        with torch.no_grad():
-            # run up to Mixed_6e (768 channels, 17x17), then pool to 8x8
-            for name, mod in net.named_children():
-                x = mod(x)
-                if name == "Mixed_6e":
-                    break
-            x = torch.nn.functional.adaptive_avg_pool2d(x, (8, 8))
-        return x.numpy().transpose(0, 2, 3, 1)
-
-    return extractor
-
-
 def path_statistics(path: str, extractor: Callable, fake_side: bool,
                     batch_size: int = 20, small_dset: bool = False,
                     shuffle_seed: Optional[int] = 10
@@ -137,19 +111,24 @@ def path_statistics(path: str, extractor: Callable, fake_side: bool,
 def calculate_fid_given_paths(paths, batch_size: int = 20, cuda: bool = False,
                               dims: int = 768,
                               extractor: Optional[Callable] = None,
-                              small_dset: bool = False) -> float:
+                              small_dset: bool = False,
+                              weights_path: Optional[str] = None) -> float:
     """Reference CLI-compatible entry (`fid_score.py:267-291`):
     paths = [real_dir, fake_dir].  `small_dset=True` selects the
     `fid_score_small_dset.py` protocol variant (real-side stretch, no fake
-    mean shift, no file shuffle)."""
+    mean shift, no file shuffle).  Without a custom `extractor`, a
+    `weights_path` to an InceptionV3 state dict is REQUIRED — FID is
+    meaningless on random weights, so there is no silent fallback."""
     if extractor is None:
-        extractor = make_torch_inception_extractor(dims=dims)
-    if extractor is None:
-        raise RuntimeError(
-            "No Inception feature extractor available: torchvision + the "
-            "pytorch-fid weights are required (network download; see "
-            "fid/inception.py:13 in the reference).  Pass extractor= to use "
-            "a custom feature model.")
+        if not weights_path:
+            raise RuntimeError(
+                "FID needs an Inception feature extractor: pass "
+                "weights_path= (pytorch-fid pt_inception-2015-12-05 "
+                "weights or a torchvision inception_v3 state dict; URL in "
+                "the reference's fid/inception.py:13), or a custom "
+                "extractor=.")
+        from uncltmo_tpu.metrics.inception import make_inception_extractor
+        extractor = make_inception_extractor(weights_path, dims=dims)
     mu1, s1 = path_statistics(paths[0], extractor, fake_side=False,
                               batch_size=batch_size, small_dset=small_dset)
     mu2, s2 = path_statistics(paths[1], extractor, fake_side=True,
