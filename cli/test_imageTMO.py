@@ -57,6 +57,10 @@ def get_args(argv=None):
                         choices=["float32", "bfloat16"])
     parser.add_argument("--calc_lambda", type=int, default=0,
                         help="estimate missing lambdas before running")
+    parser.add_argument("--whole_image", type=int, default=0,
+                        help="non-tiled whole-image forward (the "
+                             "reference's run_model_on_single_image path; "
+                             "forced on for add_frame=1 checkpoints)")
     return parser.parse_args(argv)
 
 
@@ -93,7 +97,8 @@ def run_trained_model(args):
     os.makedirs(args.output_path, exist_ok=True)
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     runner = InferenceRunner(model_params, net_path, overlap=args.overlap,
-                             dtype=dtype)
+                             dtype=dtype,
+                             whole_image=bool(args.whole_image))
     runner.run_on_path(args.input_images_path, args.output_path,
                        args.f_factor_path, scale=args.scale)
     print("tone mapping took [%.2f] seconds" % (time.time() - start))

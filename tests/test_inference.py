@@ -279,3 +279,98 @@ def test_video_cli_scene_batch_matches_sequential(tmp_path, rng):
         # ULP noise landing on a uint8 rounding boundary
         assert diff.max() <= 1, f"{k}: max diff {diff.max()}"
         assert (diff > 0).mean() < 1e-3, f"{k}: {(diff > 0).mean():.4%}"
+
+
+def test_run_images_cache_keys_on_post_name():
+    """Fresh per-call lambdas with the same `post_name` must reuse one
+    compiled executable (the cache must not grow per call)."""
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+    from uncltmo_tpu.inference.engine import TileEngine
+
+    class Toy(nn.Module):
+        @nn.compact
+        def __call__(self, x, **kw):
+            k = self.param("k", nn.initializers.ones, (1,))
+            return nn.tanh(x[..., :1] * k), x
+
+    model = Toy()
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 256, 256, 1)))
+    eng = TileEngine(model, variables, chunk=4)
+    frames = jnp.zeros((2, 272, 272, 1), jnp.float32)
+    a = eng.run_images(frames, post_fn=lambda x: x * 2.0,
+                       post_name="double")
+    n_fns = len(eng._image_fns)
+    b = eng.run_images(frames, post_fn=lambda x: x * 2.0,
+                       post_name="double")
+    assert len(eng._image_fns) == n_fns  # no recompile, no cache growth
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_whole_image_inference_paths(tmp_path, rng):
+    """Non-tiled whole-image inference (`run_model_on_single_image`,
+    `model_save_util.py:266-291`): add_frame=0 removes the pad by bicubic
+    DOWNSCALE; add_frame=1 runs the model-level output crop (the path the
+    reference cannot itself execute — its fixed 12x12 pos_embed broadcast
+    crashes off-192px — completed here via ViG-style interpolation)."""
+    import shutil
+    import jax
+    from uncltmo_tpu.config import get_model_params
+    from uncltmo_tpu.inference.runner import InferenceRunner
+    from uncltmo_tpu.models.unet import UNetTMO
+    from uncltmo_tpu.utils.checkpoint import save_params
+    from uncltmo_tpu.utils.io import read_ldr_image
+
+    model_dir = tmp_path / "model"
+    model_dir.mkdir()
+    model = UNetTMO()
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                    jnp.zeros((1, 256, 256, 1)))
+    net = str(model_dir / "trained_weights.msgpack")
+    save_params(net, {"params_G": variables["params"]})
+    shutil.copy(REF_SETTINGS, model_dir / "run_settings.npy")
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    shutil.copy(BELGIUM, in_dir / "belgium.hdr")
+    lam = tmp_path / "lams.npy"
+    np.save(lam, {"belgium": 400.0})
+
+    # add_frame=0: whole-image forward + bicubic pad removal
+    mp = get_model_params("m", str(model_dir / "run_settings.npy"))
+    runner = InferenceRunner(mp, net, whole_image=True)
+    out = runner.run_single_image(str(in_dir / "belgium.hdr"), "belgium",
+                                  str(tmp_path / "out0"), str(lam), scale=4)
+    im = read_ldr_image(out)
+    assert im.shape == (192, 256, 3)
+    assert im.std() > 0.001
+
+    # add_frame=1: model-level crop; tiled paths would reject this config
+    mp_af = dict(mp, add_frame=1)
+    runner_af = InferenceRunner(mp_af, net)
+    assert runner_af.whole_image
+    out = runner_af.run_single_image(str(in_dir / "belgium.hdr"), "belgium",
+                                     str(tmp_path / "out1"), str(lam),
+                                     scale=4)
+    im = read_ldr_image(out)
+    assert im.shape == (192, 256, 3)
+    assert im.std() > 0.001
+
+
+def test_bicubic_resize_matches_torch(rng):
+    """General bicubic (whole-image pad removal, GCN pos/rel-pos
+    interpolation) == torch F.interpolate(mode='bicubic',
+    align_corners=False)."""
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+    from uncltmo_tpu.ops.resize import bicubic_resize
+    for (h, w, oh, ow) in [(80, 96, 73, 85), (64, 64, 128, 100),
+                           (37, 53, 37, 41)]:
+        x = rng.random((2, h, w, 3)).astype(np.float32)
+        ref = F.interpolate(torch.tensor(x.transpose(0, 3, 1, 2)),
+                            size=(oh, ow), mode="bicubic",
+                            align_corners=False)
+        ref = ref.numpy().transpose(0, 2, 3, 1)
+        out = np.asarray(bicubic_resize(jnp.asarray(x), oh, ow))
+        np.testing.assert_allclose(out, ref, atol=5e-5)

@@ -210,7 +210,7 @@ class TileEngine:
         return run
 
     def run_images(self, frames_fhw1: jnp.ndarray, post_fn=None,
-                   frames_per_step: int = 2):
+                   frames_per_step: int = 2, post_name: str = None):
         """(F, H, W, 1) -> per-frame results in ONE dispatch.
 
         Amortizes per-dispatch latency (the remote-TPU round trip costs more
@@ -219,12 +219,17 @@ class TileEngine:
         `post_fn(frame_result)` is applied inside the scan (e.g. percentile
         stretch, or a scalar reduction for benchmarking).  F must be a
         multiple of frames_per_step.
+
+        Compiled executables are cached per (shape, post_fn).  The cache
+        keys on `post_name` when given, else on `post_fn` object identity —
+        a caller passing a FRESH closure per call must pass `post_name` or
+        every call recompiles and the cache grows unboundedly.
         """
         f, h, w = (int(frames_fhw1.shape[0]), int(frames_fhw1.shape[1]),
                    int(frames_fhw1.shape[2]))
         g = frames_per_step
         assert f % g == 0, (f, g)
-        key = (f, h, w, post_fn, g)
+        key = (f, h, w, post_name if post_name is not None else post_fn, g)
         if key not in self._image_fns:
             core = self._images_core(h, w, g)
 

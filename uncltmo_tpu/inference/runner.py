@@ -33,6 +33,24 @@ def preprocess_device(rgb_hw3: jnp.ndarray, f_factor,
     return rgb, gray
 
 
+@functools.partial(jax.jit, static_argnames=("out_h", "out_w"))
+def postprocess_whole_device(rgb_padded: jnp.ndarray, fake: jnp.ndarray,
+                             out_h: int, out_w: int) -> jnp.ndarray:
+    """Whole-image postprocess (`run_model_on_single_image`,
+    `model_save_util.py:273-291`): percentile clamp/stretch, ratio-image
+    color on the PADDED frame, then the pad is removed by a bicubic
+    DOWNSCALE to (h-diffY, w-diffX) — the reference resizes instead of
+    cropping on this path — clamped to [0, pre-resize max]."""
+    from uncltmo_tpu.ops.resize import bicubic_resize
+    fake_stretch = color.percentile_clamp_stretch(fake, 0.5, 99.5)
+    im_color = color.back_to_color(rgb_padded, fake_stretch)
+    im_max = im_color.max()
+    im_color = bicubic_resize(im_color[None], out_h, out_w)[0]
+    im_color = jnp.clip(im_color, 0.0, im_max)
+    im_color = jnp.clip(im_color, 0.0, 1.0)
+    return color.to_01_outlier(im_color)
+
+
 @functools.partial(jax.jit, static_argnames=("diffY", "diffX"))
 def postprocess_device(rgb_padded: jnp.ndarray, fake: jnp.ndarray,
                        diffY: int, diffX: int) -> jnp.ndarray:
@@ -78,20 +96,21 @@ class InferenceRunner:
     def __init__(self, model_params: Dict, net_path: str,
                  video: bool = False, tile: int = 256, overlap: int = 64,
                  dtype=jnp.float32, chunk: int = 16,
-                 params_G=None):
+                 params_G=None, whole_image: bool = False):
         _enable_compile_cache()
-        if int(model_params.get("add_frame", 0)):
-            # The reference's add_frame TILED inference is broken at the
-            # source: test_big_size_image2 passes apply_crop per 256-tile
-            # (`model_save_util.py:427`), so each tile output shrinks by
-            # (diffY, diffX) and no longer fits the stitch slots — only the
-            # non-tiled `run_model_on_single_image` path (`:272`) is
-            # consistent, and no published checkpoint uses add_frame.
-            # Reject loudly rather than silently skipping the crop.
+        self.add_frame = bool(int(model_params.get("add_frame", 0)))
+        # add_frame models run whole-image only: the reference's add_frame
+        # TILED inference is broken at the source (test_big_size_image2
+        # passes apply_crop per 256-tile, `model_save_util.py:427`, so each
+        # tile output shrinks and no longer fits the stitch slots); the
+        # non-tiled `run_model_on_single_image` path (`:272`) is the one
+        # that can activate them.
+        self.whole_image = whole_image or self.add_frame
+        if self.add_frame and video:
             raise ValueError(
-                "add_frame=1 checkpoints are not supported by the tiled "
-                "inference path (the reference's own tiler is inconsistent "
-                "with add_frame; published configs use add_frame=0)")
+                "add_frame=1 checkpoints have no consistent video path "
+                "(the reference's 5-D tiler has the same per-tile-crop "
+                "inconsistency; published configs use add_frame=0)")
         self.model_params = model_params
         opt = options_from_model_params(model_params)
         # forward-only: use the ConvT lowering of the 2x2 upsample (+15%
@@ -105,6 +124,12 @@ class InferenceRunner:
         self.video = video
         self.factor_coeff = float(model_params.get("factor_coeff", 0.1))
         self.data_trc = str(model_params.get("data_trc", "min_log"))
+        gen = self.gen
+        self._whole_fwd = jax.jit(
+            lambda variables, x, apply_crop, diffY, diffX: gen.apply(
+                variables, x, apply_crop=apply_crop, diffY=diffY,
+                diffX=diffX)[0],
+            static_argnames=("apply_crop", "diffY", "diffX"))
 
     # ------------------------------------------------------------------
     def _lambda_for(self, f_factor_path: str, key: str) -> float:
@@ -136,10 +161,43 @@ class InferenceRunner:
                          f_factor_path: str, scale: int = 4,
                          suffix: str = "_UnCLTMO") -> str:
         """`run_model_on_single_image2` equivalent
-        (`model_save_util.py:293-405`)."""
+        (`model_save_util.py:293-405`); whole-image mode (add_frame models,
+        or whole_image=True) takes the non-tiled path instead."""
+        if self.whole_image:
+            return self.run_single_image_whole(im_path, im_name, output_path,
+                                               f_factor_path, scale, suffix)
         rgb_p, gray_p, dy, dx = self.load_image(im_path, f_factor_path, scale)
         fake = self.engine.run_image(gray_p)
         out01 = self._postprocess(rgb_p, fake, dy, dx)
+        return save_uint8_png(np.asarray(out01), output_path,
+                              im_name + suffix)
+
+    def run_single_image_whole(self, im_path: str, im_name: str,
+                               output_path: str, f_factor_path: str,
+                               scale: int = 1,
+                               suffix: str = "_UnCLTMO") -> str:
+        """Non-tiled inference, `run_model_on_single_image` equivalent
+        (`model_save_util.py:266-291`): one whole-image forward (the GCN
+        bottleneck adapts to the padded size — see GCNBlock), then the
+        reference's resize-out-the-pad postprocess.
+
+        add_frame=1 models run with the model-level output crop
+        (apply_crop, `Unet_singleFrame.py:210-211`); the color/postprocess
+        then uses the matching CROPPED rgb frame.  (The reference crashes
+        here — its padded rgb no longer matches the cropped fake — so this
+        is the consistent completion of its protocol, not a translation.)
+        """
+        rgb_p, gray_p, dy, dx = self.load_image(im_path, f_factor_path, scale)
+        x = gray_p[None].astype(self.engine.dtype)
+        fake = self._whole_fwd(self.engine.variables, x,
+                               self.add_frame, dy, dx)[0]
+        fake = fake.astype(jnp.float32)
+        if self.add_frame:
+            rgb = preprocess.crop_frame(rgb_p, dy, dx)
+            out01 = postprocess_device(rgb, fake, 0, 0)
+        else:
+            h, w = rgb_p.shape[0], rgb_p.shape[1]
+            out01 = postprocess_whole_device(rgb_p, fake, h - dy, w - dx)
         return save_uint8_png(np.asarray(out01), output_path,
                               im_name + suffix)
 

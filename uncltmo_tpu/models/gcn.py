@@ -134,6 +134,14 @@ class GrapherFFN(nn.Module):
         b, h, w, c = x.shape
         n = h * w
         rel_pos = jnp.asarray(relative_pos_bias(self.ch, self.grid))
+        if n != self.grid * self.grid:
+            # arbitrary bottleneck (whole-image inference): bicubic-resize
+            # the fixed grid^2 x grid^2 bias to N x N, exactly the
+            # reference Grapher's `_get_relative_pos`
+            # (`gcn_lib/torch_vertex.py:211-217`, F.interpolate bicubic)
+            from uncltmo_tpu.ops.resize import bicubic_resize
+            rel_pos = bicubic_resize(
+                rel_pos[None, :, :, None].astype(x.dtype), n, n)[0, :, :, 0]
         nodes_in = x.reshape(b, n, c)
 
         # ---- Grapher_noBN (`gcn_lib/torch_vertex.py:181-227`)
@@ -182,6 +190,17 @@ class GCNBlock(nn.Module):
     def __call__(self, x, *, deterministic: bool = True):
         pos = self.param("pos_embed", nn.initializers.zeros,
                          (1, self.grid, self.grid, self.ch))
+        if x.shape[1:3] != (self.grid, self.grid):
+            # The reference adds the fixed 12x12 pos_embed by broadcast
+            # (`Unet.py:93`), which CRASHES for any bottleneck that isn't
+            # grid x grid — i.e. its non-tiled inference only runs on
+            # inputs of exactly 16*(grid-1)+16 px.  Deviation (documented):
+            # bicubic-resize the embedding to the actual bottleneck, the
+            # standard ViG treatment and the same interpolation its own
+            # Grapher applies to relative_pos.
+            from uncltmo_tpu.ops.resize import bicubic_resize
+            pos = bicubic_resize(pos.astype(x.dtype),
+                                 x.shape[1], x.shape[2])
         x = x + pos
         return GrapherFFN(self.ch, self.k, self.grid, self.drop_path_rate,
                           name="grapher")(x, deterministic=deterministic)

@@ -63,3 +63,43 @@ def haar_half(x: jnp.ndarray) -> jnp.ndarray:
         x, kern, window_strides=(2, 2), padding="VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=c, precision=lax.Precision.HIGHEST)
+
+
+def _keys_cubic(x: np.ndarray, a: float = -0.75) -> np.ndarray:
+    """Keys cubic convolution kernel (torch's bicubic, a = -0.75)."""
+    x = np.abs(x)
+    out = np.zeros_like(x)
+    m1 = x <= 1
+    out[m1] = (a + 2) * x[m1] ** 3 - (a + 3) * x[m1] ** 2 + 1
+    m2 = (x > 1) & (x < 2)
+    out[m2] = a * (x[m2] ** 3 - 5 * x[m2] ** 2 + 8 * x[m2] - 4)
+    return out
+
+
+def _bicubic_matrix(n_in: int, n_out: int) -> np.ndarray:
+    """(n_out, n_in) interpolation weights of torch
+    `F.interpolate(mode='bicubic', align_corners=False)`: half-pixel source
+    coordinates, 4 Keys taps, edge-clamped indices (clamped taps fold their
+    weight onto the border sample)."""
+    w = np.zeros((n_out, n_in), np.float64)
+    scale = n_in / n_out
+    for i in range(n_out):
+        s = (i + 0.5) * scale - 0.5
+        f = int(np.floor(s))
+        for t in range(-1, 3):
+            idx = min(max(f + t, 0), n_in - 1)
+            w[i, idx] += _keys_cubic(np.asarray(s - (f + t)))
+    return w
+
+
+def bicubic_resize(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
+    """General NHWC bicubic resize with torch semantics (the reference's
+    pad-removal downscale in the whole-image inference path,
+    `utils/model_save_util.py:282-284`).  Separable: two static matmuls
+    with precomputed (out, in) weight matrices — MXU work, no gathers."""
+    wh = jnp.asarray(_bicubic_matrix(x.shape[1], out_h), x.dtype)
+    ww = jnp.asarray(_bicubic_matrix(x.shape[2], out_w), x.dtype)
+    y = jnp.einsum("oh,nhwc->nowc", wh, x,
+                   precision=lax.Precision.HIGHEST)
+    return jnp.einsum("ow,nhwc->nhoc", ww, y,
+                      precision=lax.Precision.HIGHEST)
