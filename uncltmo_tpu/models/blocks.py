@@ -227,6 +227,18 @@ def concat_skip(x2: jnp.ndarray, x1: jnp.ndarray, con_operator: str,
     if con_operator == params.SQUARE_ROOT:
         return jnp.concatenate([x2, x1, _sqrt_eps(x2, eps)], axis=-1)
     if con_operator == params.SQUARE_AND_SQUARE_ROOT:
+        # A Pallas kernel fusing the expansions + concat into one VMEM
+        # pass exists (`ops/pallas_kernels.fused_concat_skip`) and wins
+        # 1.2x standalone, but it HALVES end-to-end fps in the model
+        # (52.1 -> 24.8 at 1080p): the pallas_call is a fusion barrier
+        # that forces its inputs to materialize, costing more than the
+        # concat it saves (see PERF.md).  Opt-in via UNCLTMO_FORCE_PALLAS
+        # for re-measurement on future compilers; stock XLA is the
+        # production path.
+        from uncltmo_tpu.ops.pallas_kernels import (fused_concat_skip,
+                                                    use_fused_concat_skip)
+        if use_fused_concat_skip(x2.shape, x2.dtype):
+            return fused_concat_skip(x2, x1)
         return jnp.concatenate(
             [x2, x1, jnp.square(x2), _sqrt_eps(x2, eps)], axis=-1)
     if con_operator == params.GAMMA:

@@ -33,12 +33,15 @@ host.  The stock XLA conv path remains the model default (see PERF.md).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+from uncltmo_tpu import params as P
 
 _BAND = 32        # output rows per program
 _DMA_ROWS = 40    # input rows per DMA (BAND + 4 halo, rounded up to 8)
@@ -127,6 +130,112 @@ def fused_double_conv3x3(x, k1, b1, k2, b2, interpret: bool = False):
         interpret=interpret,
     )(x_flat, k1, b1, k2, b2)
     return out[:, :h_out]
+
+
+# ---------------------------------------------------------------------------
+# Fused con_operator concat (the round-2 trace's #1 aggregate cost)
+# ---------------------------------------------------------------------------
+_CONCAT_BAND = 8    # H rows per program; Pallas masks the ragged last band.
+                    # 8 keeps the largest block (8 x 252 x 4C) + its f32
+                    # sqrt intermediate + double buffering inside the 16 MB
+                    # scoped-VMEM limit at every U-Net scale (32 OOM'd at
+                    # the 252^2/C=32 level).
+
+
+def _concat_skip_kernel(x2_ref, x1_ref, o_ref):
+    """[skip, up, skip^2, sqrt(skip+eps)] in one VMEM pass.
+
+    sqrt in f32 internally (bf16 sqrt measured slower than
+    convert-sqrt-convert; `models/blocks.py:_sqrt_eps`)."""
+    x2 = x2_ref[0]
+    x1 = x1_ref[0]
+    sq = x2 * x2
+    rt = jnp.sqrt((x2 + _EPS).astype(jnp.float32)).astype(x2.dtype)
+    o_ref[0] = jnp.concatenate([x2, x1, sq, rt], axis=-1)
+
+
+_EPS = P.EPSILON  # 1e-8 (`utils/params.py:48`)
+
+
+def use_fused_concat_skip(shape, dtype) -> bool:
+    """Dispatch policy for the fused con_operator kernel.
+
+    MEASURED AND REJECTED for production (round 3): standalone the kernel
+    is 0.93-1.25x vs the isolated XLA subgraph, but END TO END it halves
+    image fps (52.1 -> 24.8 at 1080p) — the pallas_call acts as a fusion
+    barrier, forcing its inputs (the upsample and skip activations that
+    XLA otherwise keeps fused with their producers) to materialize to
+    HBM.  Kept behind UNCLTMO_FORCE_PALLAS=1 for re-measurement on future
+    compilers; see PERF.md."""
+    if not os.environ.get("UNCLTMO_FORCE_PALLAS"):
+        return False
+    if jax.default_backend() not in ("tpu", "axon"):
+        return False
+    _, _, w, c = shape
+    dsize = jnp.dtype(dtype).itemsize
+    # output block + two input blocks + f32 sqrt temp, double-buffered
+    return _CONCAT_BAND * w * 4 * c * dsize <= 4 * 2 ** 20
+
+
+def _concat_skip_pallas_raw(x2, x1, interpret: bool = False):
+    b, h, w, c = x2.shape
+    grid = (b, pl.cdiv(h, _CONCAT_BAND))
+    return pl.pallas_call(
+        _concat_skip_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, _CONCAT_BAND, w, c), lambda bi, ri: (bi, ri, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _CONCAT_BAND, w, c), lambda bi, ri: (bi, ri, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, _CONCAT_BAND, w, 4 * c),
+                               lambda bi, ri: (bi, ri, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, 4 * c), x2.dtype),
+        interpret=interpret,
+    )(x2, x1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def fused_concat_skip(x2, x1, interpret: bool = False):
+    """Pallas-fused `square_and_square_root` con_operator
+    (`models/blocks.py:concat_skip`, reference `unet_parts.py:311-332`):
+
+        out = concat([x2, x1, x2^2, sqrt(x2 + eps)], axis=-1)
+
+    XLA executes the expansions as separate VPU passes plus a concat copy
+    (the round-2 device trace's largest aggregate cost, ~10.5 ms of 37 ms
+    per 2-frame step); this kernel reads each input once and writes the
+    4C concat once — the bandwidth lower bound.  The backward pass is
+    closed-form and cheap relative to the conv gradients, so it stays in
+    stock XLA ops.
+    """
+    return _concat_skip_pallas_raw(x2, x1, interpret)
+
+
+def _fused_concat_skip_fwd(x2, x1, interpret: bool = False):
+    return _concat_skip_pallas_raw(x2, x1, interpret), x2
+
+
+def _fused_concat_skip_bwd(interpret, x2, g):
+    c = x2.shape[-1]
+    g2 = g[..., :c]
+    g1 = g[..., c:2 * c]
+    gsq = g[..., 2 * c:3 * c]
+    grt = g[..., 3 * c:]
+    rt = jnp.sqrt((x2 + _EPS).astype(jnp.float32)).astype(x2.dtype)
+    dx2 = g2 + 2.0 * x2 * gsq + grt * (0.5 / rt).astype(x2.dtype)
+    return dx2, g1
+
+
+fused_concat_skip.defvjp(_fused_concat_skip_fwd, _fused_concat_skip_bwd)
+
+
+def concat_skip_reference(x2, x1):
+    """Stock XLA form for parity checks."""
+    rt = jnp.sqrt((x2 + _EPS).astype(jnp.float32)).astype(x2.dtype)
+    return jnp.concatenate([x2, x1, jnp.square(x2), rt], axis=-1)
 
 
 def double_conv3x3_reference(x, k1, b1, k2, b2):
