@@ -179,9 +179,201 @@ def test_trainer_untrained_dcgan_with_small_input_size(tmp_path):
     assert trainer is not None
 
 
+def _write_pools(tmp_path, n_hdr=6, n_ldr=5, n_neg=2):
+    """Synthetic on-disk layout with all five reference training pools
+    (`ProcessedDatasetFolder.py:262-267`): static HDR, static LDR-pos,
+    HDR-video scenes, sRGB-video scenes, SICE negatives + both λ dicts.
+    Pools are value-coded so a sample's origin is detectable: LDR-pos
+    pixels = 100, negatives = 200 (post /255: 0.392 vs 0.784)."""
+    rng = np.random.default_rng(7)
+    roots = {}
+    hdr_dir = tmp_path / "hdr"; hdr_dir.mkdir()
+    lams = {}
+    for i in range(n_hdr):
+        np.save(hdr_dir / f"im{i}.npy",
+                (rng.random((256, 256, 3)) * 1000).astype(np.float32))
+        lams[f"im{i}"] = 40.0
+    np.save(tmp_path / "lams.npy", lams)
+    ldr_dir = tmp_path / "ldr"; ldr_dir.mkdir()
+    for i in range(n_ldr):
+        np.save(ldr_dir / f"ldr{i}.npy",
+                np.full((256, 256, 3), 100.0, np.float32))
+    neg_dir = tmp_path / "neg"; neg_dir.mkdir()
+    for i in range(n_neg):
+        np.save(neg_dir / f"neg{i}.npy",
+                np.full((256, 256, 3), 200.0, np.float32))
+    vid_lams = {}
+    for root_name, scene in (("hdrvid", "sceneA"), ("srgbvid", "sceneB")):
+        sdir = tmp_path / root_name / scene
+        sdir.mkdir(parents=True)
+        for f in range(2):
+            np.save(sdir / ("%03d.npy" % f),
+                    (rng.random((256, 512, 3)) * 800 + 1).astype(np.float32))
+        vid_lams[scene] = 30.0
+    np.save(tmp_path / "vid_lams.npy", vid_lams)
+    roots.update(hdr=str(hdr_dir), ldr=str(ldr_dir), neg=str(neg_dir),
+                 hdrvid=str(tmp_path / "hdrvid"),
+                 srgbvid=str(tmp_path / "srgbvid"),
+                 lams=str(tmp_path / "lams.npy"),
+                 vid_lams=str(tmp_path / "vid_lams.npy"))
+    return roots
+
+
+def test_trainer_wires_all_five_training_pools(tmp_path):
+    """Config flags -> GanTrainer -> TrainDataSource for every reference
+    pool: negatives actually come from the SICE pool, the video pathway
+    triggers ~50% of HDR draws (`ProcessedDatasetFolder.py:290-301`), and
+    the epoch length is the 3-stream zip min (`GanTrainer.py:172-174`)."""
+    from uncltmo_tpu.data.pipeline import NEG_REPLICATION, TrainDataSource
+    roots = _write_pools(tmp_path)
+    opt = Options(batch_size=2, num_epochs=1, d_pretrain_epochs=0,
+                  train_input_size=112,
+                  data_root_npy=roots["hdr"], data_root_ldr=roots["ldr"],
+                  f_train_dict_path=roots["lams"],
+                  hdr_video_root=roots["hdrvid"],
+                  srgb_video_root=roots["srgbvid"],
+                  neg_ldr_root=roots["neg"],
+                  f_train_hdrvideo_dict_path=roots["vid_lams"],
+                  result_dir_prefix=str(tmp_path / "run"))
+    opt.output_dir = str(tmp_path / "run")
+    os.makedirs(opt.output_dir, exist_ok=True)
+    trainer = GanTrainer(opt, video=True, use_mesh=False)
+    src = trainer.pipeline.source
+    assert isinstance(src, TrainDataSource)
+    assert len(src.neg_ldr) == 2 and len(src.hdr_video) == 2 \
+        and len(src.srgb_video) == 2
+    # 3-stream zip min: min(6 hdr, 5 ldr, 2*8 neg) = 5
+    assert len(src) == min(6, 5, 2 * NEG_REPLICATION) == 5
+
+    calls = []
+    orig = src._hdr_frames
+    src._hdr_frames = \
+        lambda path, rng, video: (calls.append(video), orig(path, rng,
+                                                            video))[1]
+    rng = np.random.default_rng(0)
+    samples = [src.sample(rng) for _ in range(120)]
+    # negatives are drawn from the value-coded SICE pool, not positives
+    for s in samples[:10]:
+        np.testing.assert_allclose(s["ldr_neg"], 200.0 / 255.0, atol=1e-5)
+        np.testing.assert_allclose(s["ldr_pos"][np.isclose(
+            s["ldr_pos"], 100.0 / 255.0, atol=1e-5)], 100.0 / 255.0)
+    assert 0.35 < np.mean(calls) < 0.65  # 50/50 static-vs-video coin
+
+
+def test_image_trainer_uses_negatives_but_not_video(tmp_path):
+    """The image trainer keeps SICE negatives (`ProcessedDatasetFolderImg`
+    still uses them) but never samples the video pools
+    (`ProcessedDatasetFolderImg.py:222-223` forces the static branch)."""
+    from uncltmo_tpu.data.pipeline import TrainDataSource
+    roots = _write_pools(tmp_path)
+    opt = Options(batch_size=2, train_input_size=112,
+                  data_root_npy=roots["hdr"], data_root_ldr=roots["ldr"],
+                  f_train_dict_path=roots["lams"],
+                  hdr_video_root=roots["hdrvid"],
+                  srgb_video_root=roots["srgbvid"],
+                  neg_ldr_root=roots["neg"],
+                  f_train_hdrvideo_dict_path=roots["vid_lams"],
+                  result_dir_prefix=str(tmp_path / "run"))
+    opt.output_dir = str(tmp_path / "run")
+    os.makedirs(opt.output_dir, exist_ok=True)
+    trainer = GanTrainer(opt, video=False, use_mesh=False)
+    src = trainer.pipeline.source
+    assert isinstance(src, TrainDataSource)
+    assert len(src.neg_ldr) == 2
+    assert not src.hdr_video and not src.srgb_video
+
+
+def test_data_source_loud_on_missing_neg_pool(tmp_path):
+    """Explicit-but-empty pool globs raise; an absent negative pool warns
+    about degenerate contrastive negatives instead of silently reusing
+    the positive pool."""
+    import pytest as _pytest
+    from uncltmo_tpu.data.pipeline import LambdaTable, TrainDataSource
+    roots = _write_pools(tmp_path)
+    lam = LambdaTable(roots["lams"], 0.1)
+    with _pytest.raises(FileNotFoundError, match="negative-LDR"):
+        TrainDataSource(hdr_glob=roots["hdr"] + "/*.npy",
+                        ldr_glob=roots["ldr"] + "/*.npy",
+                        lambda_table=lam,
+                        neg_ldr_glob=str(tmp_path / "nope" / "*.npy"))
+    with _pytest.warns(UserWarning, match="no negative-LDR pool"):
+        TrainDataSource(hdr_glob=roots["hdr"] + "/*.npy",
+                        ldr_glob=roots["ldr"] + "/*.npy",
+                        lambda_table=lam)
+
+
 def test_trainer_rejects_add_frame(tmp_path):
     opt = Options(batch_size=2, add_frame=1)
     opt.output_dir = str(tmp_path)
     with pytest.raises(ValueError, match="add_frame"):
         GanTrainer(opt, source=SyntheticDataSource(n_items=2),
                    use_mesh=False)
+
+
+def _loss_trajectory(output_dir):
+    recs = [json.loads(l) for l in
+            open(os.path.join(output_dir, "train_metrics.jsonl"))]
+    keys = ("errD", "errG_d", "errG_struct", "fake/mean")
+    traj = {}
+    for r in recs:                    # later records win (resume re-logs)
+        if "errG_d" in r:
+            traj[r["step"]] = tuple(r.get(k) for k in keys)
+    return traj
+
+
+def test_kill_and_resume_reproduces_trajectory(tmp_path):
+    """Mid-epoch kill-and-resume: the resumed run must reproduce the
+    uninterrupted run's loss trajectory exactly (per-iter derived RNGs +
+    num_iter/epoch_iter checkpoint bookkeeping; the reference replays the
+    whole epoch instead, `GanTrainer.py:485-494`)."""
+    def make_opt(d):
+        opt = Options(batch_size=2, num_epochs=2, d_pretrain_epochs=0,
+                      G_lr=1e-4, D_lr=1.5e-4, lr_decay_step=50,
+                      loss_g_d_factor=0.1, pyramid_weight_list="0.2,0.4,0.6",
+                      adv_weight_list="1,1,0", log_every=1,
+                      train_input_size=112,
+                      result_dir_prefix=str(d))
+        opt.output_dir = str(d)
+        os.makedirs(opt.output_dir, exist_ok=True)
+        return opt
+
+    def make_source():
+        from uncltmo_tpu.data.pipeline import SyntheticDataSource
+        return SyntheticDataSource(n_items=8, size=112)
+
+    # ---- run A: uninterrupted (2 epochs x 4 steps)
+    opt_a = make_opt(tmp_path / "a")
+    GanTrainer(opt_a, video=False, source=make_source(),
+               use_mesh=False).train()
+    traj_a = _loss_trajectory(opt_a.output_dir)
+    assert set(traj_a) == set(range(1, 9))
+
+    # ---- run B: killed at the start of iter 3 (epoch 0, after the
+    # iter-2 checkpoint), then resumed from disk
+    opt_b = make_opt(tmp_path / "b")
+    tr_b = GanTrainer(opt_b, video=False, source=make_source(),
+                      use_mesh=False)
+    orig_step = tr_b.train_step
+    calls = {"n": 0}
+
+    def killing_step(*a, **kw):
+        if calls["n"] == 2:
+            raise KeyboardInterrupt
+        calls["n"] += 1
+        return orig_step(*a, **kw)
+
+    tr_b.train_step = killing_step
+    with pytest.raises(KeyboardInterrupt):
+        tr_b.train()
+
+    opt_b2 = make_opt(tmp_path / "b")
+    opt_b2.checkpoint = 1
+    tr_b2 = GanTrainer(opt_b2, video=False, source=make_source(),
+                       use_mesh=False)
+    tr_b2.train()
+    assert int(tr_b2.state.step) == 8
+    traj_b = _loss_trajectory(opt_b2.output_dir)
+    for it in range(3, 9):
+        np.testing.assert_allclose(traj_b[it], traj_a[it], rtol=1e-6,
+                                   err_msg=f"iter {it} diverged after "
+                                           "resume")

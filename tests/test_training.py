@@ -166,7 +166,8 @@ def test_video_ldr_pathway_consecutive_frames(tmp_path, rng):
     src = TrainDataSource(
         hdr_glob="", ldr_glob="",
         lambda_table=LambdaTable(str(lam), 0.1),
-        srgb_video_glob=str(tmp_path / "vid" / "*" / "*.npy"))
+        srgb_video_glob=str(tmp_path / "vid" / "*" / "*.npy"),
+        video_lambda_table=LambdaTable(str(lam), 0.1))
     frames = src._ldr_frames(str(scene / "000.npy"), rng, video=True)
     assert frames.shape == (2, 256, 256, 1)
     luma0 = frames[0, ..., 0] * 255.0            # undo /255
@@ -240,3 +241,28 @@ def test_train_step_video(rng):
     assert np.isfinite(float(logs["errD"]))
     assert np.isfinite(float(logs["errG_d"]))
     assert np.isfinite(float(logs["errG_struct"]))
+
+
+def test_pipeline_deterministic_across_worker_counts():
+    """Batch i of (epoch, stream) is identical no matter how many workers
+    produce it — determinism is seeded per batch index, not per thread."""
+    src = SyntheticDataSource(n_items=12)
+    one = list(TrainPipeline(src, batch_size=2, seed=5, workers=1).epoch(0))
+    many = list(TrainPipeline(src, batch_size=2, seed=5, workers=6).epoch(0))
+    assert len(one) == len(many) == 6
+    for a, b in zip(one, many):
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k])
+
+
+def test_pipeline_worker_exception_propagates():
+    class Boom:
+        def __len__(self):
+            return 8
+
+        def sample(self, rng):
+            raise RuntimeError("producer blew up")
+
+    pipe = TrainPipeline(Boom(), batch_size=2, workers=4)
+    with pytest.raises(RuntimeError, match="producer blew up"):
+        list(pipe.epoch(0))

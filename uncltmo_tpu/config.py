@@ -94,6 +94,17 @@ class Options:
     min_stretch: float = 0.0
     add_frame: int = 0
     normalization: str = "bugy_max_normalization"
+    # Video / negative-contrastive training pools.  The reference HARDCODES
+    # these globs inside the dataset (`utils/ProcessedDatasetFolder.py:
+    # 262-267`); here they are flags with the reference's paths as
+    # defaults.  "none" disables a pool explicitly.  Scene layout:
+    # {root}/{scene}/{frame:03d}.npy for the video roots, flat *.npy for
+    # the SICE negatives.
+    hdr_video_root: str = "../../data/tone_mapping/train_HDRvideo"
+    srgb_video_root: str = "../../data/tone_mapping/train_sRGBvideo"
+    neg_ldr_root: str = "../../data/tone_mapping/SICE_patches512_npy"
+    f_train_hdrvideo_dict_path: str = \
+        "data/input_images_lambdas_trainHDRvideo.npy"
     # ====== SAVE RESULTS ======
     epoch_to_save: int = 2
     result_dir_prefix: str = ""
@@ -106,18 +117,31 @@ class Options:
     final_epoch: int = 1
     fid_real_path: str = "none"
     fid_res_path: str = "fid_results"
+    # InceptionV3 weights for FID (pytorch-fid pt_inception release or a
+    # torchvision inception_v3 state dict; reference downloads them at
+    # `fid/inception.py:13`).  "none" -> post-training FID is skipped
+    # loudly; FID never runs on random weights.
+    inception_weights: str = "none"
     # ====== TPU-NATIVE EXTRAS (not in the reference CLI) ======
     compute_dtype: str = "float32"     # "bfloat16" for fastest training
     data_parallel: int = 0             # devices for batch sharding; 0=auto
                                        # (all devices when batch divides),
                                        # >1 = required (errors on mismatch)
     log_every: int = 50
+    data_workers: int = 0              # batch-production threads (0 = auto:
+                                       # min(8, cpus-1)); determinism is
+                                       # per-batch-seeded, so the count
+                                       # never changes the data stream
     train_input_size: int = 0          # 0 = params.INPUT_SIZE (256, the
                                        # published config); smaller values
                                        # (multiples of 16, >= 96) give fast
                                        # smoke runs / CPU-mesh tests
     debug_nans: int = 0                # jax debug_nans/infs sanitizer (the
                                        # reference's detect_anomaly analog)
+    verbose: int = 0                   # per-iteration G-progress tensor
+                                       # stats (reference printer.py:146-157
+                                       # via GanTrainer.py:271,275); forces
+                                       # a device sync per step
     # -- filled by get_opt()
     manual_seed: int = 999
     output_dir: str = "."

@@ -17,7 +17,8 @@ import glob
 import os
 import queue
 import threading
-from typing import Dict, Iterator, Optional
+import warnings
+from typing import Callable, Dict, Iterator, Optional
 
 import numpy as np
 
@@ -118,8 +119,23 @@ class LambdaTable:
         return float(self.table[name]) * 255.0 * self.factor_coeff
 
 
+# The reference replicates the SICE negative path list three times over
+# itself (x8, `ProcessedDatasetFolder.py:266-267`), which only affects the
+# neg DataLoader's length (sampling a uniform index over the replicated
+# list == uniform over the pool); kept as a length multiplier here.
+NEG_REPLICATION = 8
+
+
 class TrainDataSource:
-    """File-backed source matching the reference folder layout."""
+    """File-backed source matching the reference folder layout.
+
+    Pool globs that are explicitly provided but match NO files raise at
+    construction — the reference indexes into an empty list and crashes at
+    the first sample; failing here is strictly earlier and names the pool.
+    A missing negative pool is the one silent-degradation hazard (ldr_neg
+    would be drawn from the POSITIVE pool, making the contrastive losses
+    degenerate), so that fallback warns loudly.
+    """
 
     def __init__(self, hdr_glob: str, ldr_glob: str, lambda_table: LambdaTable,
                  normalization: str = "bugy_max_normalization",
@@ -128,20 +144,50 @@ class TrainDataSource:
                  neg_ldr_glob: Optional[str] = None,
                  video_lambda_table: Optional[LambdaTable] = None,
                  size: int = 256):
+        def _pool(pattern, what):
+            if not pattern:
+                return []
+            files = sorted(glob.glob(pattern))
+            if not files:
+                raise FileNotFoundError(
+                    f"{what} pool glob {pattern!r} matched no files "
+                    "(pass None/'' to disable this pool explicitly)")
+            return files
+
         self.size = size
-        self.hdr_files = sorted(glob.glob(hdr_glob)) if hdr_glob else []
-        self.ldr_files = sorted(glob.glob(ldr_glob)) if ldr_glob else []
-        self.hdr_video = sorted(glob.glob(hdr_video_glob)) \
-            if hdr_video_glob else []
-        self.srgb_video = sorted(glob.glob(srgb_video_glob)) \
-            if srgb_video_glob else []
-        self.neg_ldr = sorted(glob.glob(neg_ldr_glob)) if neg_ldr_glob else []
+        self.hdr_files = _pool(hdr_glob, "train-HDR")
+        self.ldr_files = _pool(ldr_glob, "positive-LDR")
+        self.hdr_video = _pool(hdr_video_glob, "train-HDR-video")
+        self.srgb_video = _pool(srgb_video_glob, "train-sRGB-video")
+        self.neg_ldr = _pool(neg_ldr_glob, "negative-LDR (SICE)")
+        if not self.neg_ldr and self.ldr_files:
+            warnings.warn(
+                "no negative-LDR pool configured: ldr_neg will be drawn "
+                "from the POSITIVE pool, so the contrastive losses have no "
+                "real negatives (reference uses SICE patches, "
+                "ProcessedDatasetFolder.py:265-267). Pass neg_ldr_glob / "
+                "--neg_ldr_root to fix.", stacklevel=2)
+        if (self.hdr_video or self.srgb_video) \
+                and video_lambda_table is None:
+            raise ValueError(
+                "video pools configured but no video_lambda_table; the "
+                "reference reads f_train_hdrvideo_dict_path for every "
+                "video draw (ProcessedDatasetFolder.py:264,301)")
         self.lam = lambda_table
         self.video_lam = video_lambda_table or lambda_table
         self.normalization = normalization
 
     def __len__(self):
-        return len(self.hdr_files)
+        """Epoch length = the reference's zip of three DataLoaders
+        (`GanTrainer.py:172-174`): min over the static-HDR list, the
+        positive-LDR list, and the x8-replicated negative list
+        (`ProcessedDatasetFolder(Img).__len__`)."""
+        lengths = [len(self.hdr_files)]
+        if self.ldr_files:
+            lengths.append(len(self.ldr_files))
+        if self.neg_ldr:
+            lengths.append(NEG_REPLICATION * len(self.neg_ldr))
+        return min(lengths)
 
     # -- item loaders ---------------------------------------------------
     def _load_static(self, path: str, rng) -> np.ndarray:
@@ -236,18 +282,38 @@ class SyntheticDataSource:
 
 
 class TrainPipeline:
-    """Batched iterator with single-producer threaded prefetch (one
-    producer keeps batch order deterministic for a given seed)."""
+    """Batched iterator with multi-worker threaded prefetch.
+
+    Determinism does NOT depend on the worker count: batch i of
+    (epoch, stream) is generated from its own RNG seeded by
+    (seed, stream, epoch, i), so any number of workers produces the exact
+    same batch sequence (numpy and cv2 release the GIL for the heavy ops,
+    so threads genuinely overlap).  The reference's DataLoaders run with
+    num_workers=0 (`data_loader_util.py:20-21`) and leave the device idle;
+    here production overlaps the device step (PERF.md round 2: ~1.3 s of
+    single-threaded production vs ~140 ms of device step at B=8 was the
+    sustained-throughput bottleneck).
+    """
 
     def __init__(self, source, batch_size: int, seed: int = 0,
-                 prefetch: int = 2):
+                 prefetch: int = 2, workers: int = 0):
         self.source = source
         self.batch_size = batch_size
         self.seed = seed
         self.prefetch = prefetch
+        if workers <= 0:
+            workers = max(1, min(8, (os.cpu_count() or 2) - 1))
+        self.workers = workers
 
     def steps_per_epoch(self) -> int:
         return max(len(self.source) // self.batch_size, 1)
+
+    def batch_rng(self, epoch_idx: int, stream: int,
+                  batch_idx: int) -> np.random.Generator:
+        """The one RNG definition: batch identity == (seed, stream, epoch,
+        batch index), independent of who produces it or when."""
+        return np.random.default_rng(np.random.SeedSequence(
+            [self.seed, stream, epoch_idx, batch_idx]))
 
     def _make_batch(self, rng) -> Dict[str, np.ndarray]:
         items = [self.source.sample(rng) for _ in range(self.batch_size)]
@@ -255,50 +321,117 @@ class TrainPipeline:
 
     def epoch(self, epoch_idx: int,
               stream: int = 0) -> Iterator[Dict[str, np.ndarray]]:
-        """Yield one epoch of batches, produced by a background thread.
+        """Yield one epoch of batches, produced by a worker pool.
 
         `stream` separates RNG streams that share epoch indices (e.g. the
         D-pretrain phase vs the main run — with a shared stream, pretrain
         epoch i and main epoch i would replay byte-identical batches).
 
-        A producer-side exception is re-raised in the consumer (a dead
-        worker must not hang training in q.get), and abandoning the
-        generator early (break / exception upstream) unblocks and stops
-        the producer instead of leaking it on a full queue.
+        Worker exceptions re-raise in the consumer (a dead worker must not
+        hang training), and abandoning the generator early stops the pool
+        instead of leaking threads.  Production runs at most
+        (prefetch + workers) batches ahead of consumption.
         """
         n = self.steps_per_epoch()
-        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        n_workers = min(self.workers, n)
+        lock = threading.Condition()
+        results: Dict[int, object] = {}
+        next_idx = [0]       # next batch index to claim (under lock)
+        consumed = [0]       # first batch index not yet yielded
         stop = threading.Event()
-        rng = np.random.default_rng(
-            np.random.SeedSequence([self.seed, stream, epoch_idx]))
-
-        def _put(item) -> bool:
-            while not stop.is_set():
-                try:
-                    q.put(item, timeout=0.1)
-                    return True
-                except queue.Full:
-                    continue
-            return False
+        window = self.prefetch + n_workers
 
         def worker():
-            try:
-                for _ in range(n):
-                    if not _put(self._make_batch(rng)):
+            while not stop.is_set():
+                with lock:
+                    while (next_idx[0] < n
+                           and next_idx[0] - consumed[0] >= window
+                           and not stop.is_set()):
+                        lock.wait(0.1)
+                    i = next_idx[0]
+                    if i >= n or stop.is_set():
                         return
-                _put(None)
-            except BaseException as e:       # noqa: BLE001 — re-raised below
-                _put(e)
+                    next_idx[0] = i + 1
+                try:
+                    item = self._make_batch(
+                        self.batch_rng(epoch_idx, stream, i))
+                except BaseException as e:   # noqa: BLE001 — re-raised below
+                    item = e
+                with lock:
+                    results[i] = item
+                    lock.notify_all()
 
-        t = threading.Thread(target=worker, daemon=True)
-        t.start()
+        threads = [threading.Thread(target=worker, daemon=True)
+                   for _ in range(n_workers)]
+        for t in threads:
+            t.start()
         try:
-            while True:
-                batch = q.get()
-                if batch is None:
-                    return
-                if isinstance(batch, BaseException):
-                    raise batch
-                yield batch
+            for i in range(n):
+                with lock:
+                    while i not in results:
+                        lock.wait(0.5)
+                        if i not in results and not any(
+                                t.is_alive() for t in threads):
+                            raise RuntimeError(
+                                "all pipeline workers exited without "
+                                f"producing batch {i}")
+                    item = results.pop(i)
+                    consumed[0] = i + 1
+                    lock.notify_all()
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
         finally:
             stop.set()
+            with lock:
+                lock.notify_all()
+
+
+_DONE = object()
+
+
+def device_prefetch(iterable, prepare: Callable, depth: int = 2):
+    """Apply `prepare` (typically host-cast + jax.device_put) on a
+    background thread, staying `depth` items ahead of the consumer.
+
+    Host->device transfer through a tunnel-attached runtime partially
+    serializes with dispatch on the issuing thread; moving the transfer
+    off-thread overlaps it with the device step (the last piece of the
+    SURVEY §5 "double-buffered host->device feed" north star).  Exceptions
+    re-raise in the consumer; abandoning the generator stops the thread.
+    """
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    stop = threading.Event()
+
+    def _put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
+    def worker():
+        try:
+            for item in iterable:
+                if stop.is_set():
+                    return
+                if not _put(prepare(item)):
+                    return
+            _put(_DONE)
+        except BaseException as e:      # noqa: BLE001 — re-raised below
+            _put(e)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is _DONE:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()

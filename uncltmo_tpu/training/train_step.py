@@ -171,14 +171,19 @@ def make_train_step(gen: UNetTMO, disc: SimpleDiscriminator,
                 err_struct = cfg.struct_loss_factor * struct_loss_pyramid(
                     fake, hdr_flat[..., :1], cfg.pyramid_weights,
                     cfg.ssim_window_size)
-            return err + err_struct, (err, err_struct)
+            fake_stats = (jnp.min(fake), jnp.max(fake), jnp.mean(fake))
+            return err + err_struct, (err, err_struct, fake_stats)
 
-        (_, (err_g, err_struct)), grads_g = jax.value_and_grad(
+        (_, (err_g, err_struct, fake_stats)), grads_g = jax.value_and_grad(
             g_loss_fn, has_aux=True)(state.params_G)
         params_G, opt_state_G = apply_updates(
             state.params_G, grads_g, state.opt_state_G, g_lr)
         logs["errG_d"] = err_g
         logs["errG_struct"] = err_struct
+        # G-progress tensor stats (the reference prints fake min/max/mean
+        # each train_G iteration, `printer.py:146-157` via
+        # `GanTrainer.py:271,275`); three fused scalar reductions
+        logs["fake/min"], logs["fake/max"], logs["fake/mean"] = fake_stats
         # per-top-level-layer mean |grad| — the grad-flow diagnostic
         # (`plot_util.py:130-146`); a handful of scalars, fused into the step
         for top, sub in grads_g.items():

@@ -9,8 +9,11 @@ single jitted train step on a data-parallel mesh.
 """
 from __future__ import annotations
 
+import dataclasses
+import glob
 import os
 import time
+import warnings
 from typing import Optional
 
 import jax
@@ -123,17 +126,12 @@ class GanTrainer:
         # ---- data
         if source is None:
             if opt.data_root_npy and os.path.isdir(opt.data_root_npy):
-                source = TrainDataSource(
-                    hdr_glob=os.path.join(opt.data_root_npy, "*.npy"),
-                    ldr_glob=os.path.join(opt.data_root_ldr, "*.npy"),
-                    lambda_table=LambdaTable(opt.f_train_dict_path,
-                                             opt.factor_coeff),
-                    normalization=opt.normalization,
-                    size=self.input_size)
+                source = self._build_data_source()
             else:
                 source = SyntheticDataSource(size=self.input_size)
-        self.pipeline = TrainPipeline(source, opt.batch_size,
-                                      seed=opt.manual_seed)
+        self.pipeline = TrainPipeline(
+            source, opt.batch_size, seed=opt.manual_seed,
+            workers=int(getattr(opt, "data_workers", 0)))
 
         # ---- mesh over the validated data_parallel device count
         self.mesh = None
@@ -142,9 +140,12 @@ class GanTrainer:
             self.state = pmesh.replicate_tree(self.state, self.mesh)
 
         self.logger = MetricsLogger(opt.output_dir)
-        self.rng = jax.random.PRNGKey(opt.manual_seed + 1)
-        # slider-mode weight sampling (`GanTrainer.py:177-178`)
-        self._d_weight_rng = np.random.default_rng(opt.manual_seed + 2)
+        # Per-step RNGs are DERIVED (fold_in of a fixed base by stream and
+        # num_iter), not split sequentially — so a resumed run at iter N
+        # draws the same keys the uninterrupted run would have drawn.
+        self._base_rng = jax.random.PRNGKey(opt.manual_seed + 1)
+        self._resume_iter = 0
+        self._resumed = False
         if opt.compute_dtype == "bfloat16":
             # fast-matmul training: conv/matmul inputs truncated to bf16
             jax.config.update("jax_default_matmul_precision", "bfloat16")
@@ -153,7 +154,67 @@ class GanTrainer:
             enable_anomaly_detection(True)
 
     # ------------------------------------------------------------------
+    def _build_data_source(self) -> TrainDataSource:
+        """Wire all five reference training pools
+        (`utils/ProcessedDatasetFolder.py:262-267`): static HDR npy,
+        static positive LDR, HDR-video scenes + sRGB-video scenes (video
+        trainer only; the image dataset forces the static branch,
+        `ProcessedDatasetFolderImg.py:222-223`), and SICE negatives.
+
+        A root left at its reference-mirroring default that resolves empty
+        degrades with a warning (the published image config has no video
+        data on disk, for instance); an explicitly overridden root that
+        matches nothing raises inside TrainDataSource.
+        """
+        opt = self.opt
+        defaults = {f.name: f.default
+                    for f in dataclasses.fields(type(opt))}
+
+        def pool_glob(name: str, pattern: str) -> Optional[str]:
+            root = getattr(opt, name)
+            if not root or root == "none":
+                return None
+            g = os.path.join(root, pattern)
+            if glob.glob(g):
+                return g
+            if root == defaults.get(name):
+                warnings.warn(
+                    f"--{name} left at its default {root!r} but no files "
+                    f"match {g!r}; the pool is disabled for this run",
+                    stacklevel=2)
+                return None
+            return g  # explicit + empty: TrainDataSource raises with context
+
+        neg_glob = pool_glob("neg_ldr_root", "*.npy")
+        hdr_video_glob = srgb_video_glob = video_lam = None
+        if self.video:
+            scene_pat = os.path.join("*", "*.npy")
+            hdr_video_glob = pool_glob("hdr_video_root", scene_pat)
+            srgb_video_glob = pool_glob("srgb_video_root", scene_pat)
+            if hdr_video_glob or srgb_video_glob:
+                video_lam = LambdaTable(opt.f_train_hdrvideo_dict_path,
+                                        opt.factor_coeff)
+        return TrainDataSource(
+            hdr_glob=os.path.join(opt.data_root_npy, "*.npy"),
+            ldr_glob=os.path.join(opt.data_root_ldr, "*.npy"),
+            lambda_table=LambdaTable(opt.f_train_dict_path,
+                                     opt.factor_coeff),
+            normalization=opt.normalization,
+            hdr_video_glob=hdr_video_glob,
+            srgb_video_glob=srgb_video_glob,
+            neg_ldr_glob=neg_glob,
+            video_lambda_table=video_lam,
+            size=self.input_size)
+
     def _put(self, batch):
+        if self.opt.compute_dtype == "bfloat16":
+            # bf16 transfers halve host->device bytes; on a tunnel-attached
+            # dev host the upload link (~50 MB/s measured) is the sustained
+            # -throughput ceiling, so this matters more than it would on a
+            # co-located host.  Only the opt-in fast path — f32 runs are
+            # untouched.
+            batch = jax.tree_util.tree_map(
+                lambda x: np.asarray(x).astype(jnp.bfloat16), batch)
         if self.mesh is not None:
             return pmesh.shard_batch(batch, self.mesh)
         return jax.tree_util.tree_map(jnp.asarray, batch)
@@ -165,17 +226,28 @@ class GanTrainer:
 
     def train(self):
         """Full training run (`GanTrainer.py:142-166`): optional D
-        pre-training epochs, then the main loop with per-epoch LR decay."""
+        pre-training epochs, then the main loop with per-epoch LR decay.
+        A resume skips the pretrain phase (its effect is in the restored D
+        params) and fast-forwards through the already-trained prefix of
+        the checkpoint's epoch, reproducing the uninterrupted trajectory."""
         if self.opt.checkpoint:
             self.load_checkpoint()
-        for p_epoch in range(self.opt.d_pretrain_epochs):
-            self.train_epoch(p_epoch, pretrain=True)
-        self.num_iter = 0
+        if not self._resumed:
+            for p_epoch in range(self.opt.d_pretrain_epochs):
+                self.train_epoch(p_epoch, pretrain=True)
+            self.num_iter = 0
         for epoch in range(self.epoch, self.opt.num_epochs):
             self.epoch = epoch
-            self.train_epoch(epoch)
+            self.train_epoch(epoch, start_iter=self._resume_iter)
+            self._resume_iter = 0
 
-    def train_epoch(self, epoch: int, pretrain: bool = False):
+    def _step_rng(self, pretrain: bool) -> jax.Array:
+        """Stateless per-step key: fold (stream, num_iter) into the base."""
+        stream = jax.random.fold_in(self._base_rng, 1 if pretrain else 0)
+        return jax.random.fold_in(stream, self.num_iter)
+
+    def train_epoch(self, epoch: int, pretrain: bool = False,
+                    start_iter: int = 0):
         stage = stage_for_epoch(epoch)
         g_lr, d_lr = self._lrs(epoch)
         steps = self.pipeline.steps_per_epoch()
@@ -187,13 +259,33 @@ class GanTrainer:
         # pretrain uses a separate RNG stream: it shares epoch indices
         # with the main run and must not replay identical batches
         batches = self.pipeline.epoch(epoch, stream=1 if pretrain else 0)
-        for it, batch in enumerate(batches, start=1):
+        # host-side prepare (weight channel + dtype cast + device_put) runs
+        # on a transfer thread `depth` batches ahead, overlapping uploads
+        # with the device step.  The slider weight channel derives from the
+        # num_iter each batch WILL have (base + its epoch index), so the
+        # lookahead cannot skew the resume-deterministic RNG stream.
+        base_iter = self.num_iter - start_iter
+
+        def _prepare(idx_batch):
+            it, batch = idx_batch
+            batch = self._maybe_add_weight_channel(
+                batch, pretrain, num_iter=base_iter + it)
+            return it, self._put(batch)
+
+        indexed = ((it, b) for it, b in
+                   enumerate(batches, start=1) if it > start_iter)
+        from uncltmo_tpu.data.pipeline import device_prefetch
+        for it, dev_batch in device_prefetch(indexed, _prepare, depth=2):
             self.num_iter += 1
-            batch = self._maybe_add_weight_channel(batch, pretrain)
-            self.rng, step_rng = jax.random.split(self.rng)
+            step_rng = self._step_rng(pretrain)
             self.state, logs = self.train_step(
-                self.state, self._put(batch), step_rng, g_lr, d_lr,
+                self.state, dev_batch, step_rng, g_lr, d_lr,
                 stage=stage, pretrain=pretrain)
+            if getattr(self.opt, "verbose", 0) and not pretrain:
+                print(f"iter {self.num_iter}  fake "
+                      f"min {float(logs['fake/min']):.4f}  "
+                      f"max {float(logs['fake/max']):.4f}  "
+                      f"mean {float(logs['fake/mean']):.4f}", flush=True)
             if self.num_iter % self.opt.log_every == 0 or it == steps:
                 logs = {k: float(v) for k, v in logs.items()}
                 self.logger.log(self.num_iter, logs, epoch=epoch,
@@ -201,15 +293,22 @@ class GanTrainer:
             if not pretrain and it % summary_every == 0:
                 self.print_epoch_summary(epoch, it, logs)
 
-    def _maybe_add_weight_channel(self, batch, pretrain: bool):
+    def _maybe_add_weight_channel(self, batch, pretrain: bool,
+                                  num_iter: Optional[int] = None):
         """Slider (manual_d_training) mode: append a constant weight channel
         to the HDR input, re-sampled U(0,1) per iteration unless
         d_weight_mul_mode == 'single' (`GanTrainer.py:177-178, 293-299`).
         The losses and struct target consume channel 0 only."""
         if not self.opt.manual_d_training or pretrain:
             return batch
+        # derived per-iteration (not a sequential stream) so a mid-epoch
+        # resume — and the transfer thread's lookahead — draw the same
+        # weights as an uninterrupted, unprefetched run
+        if num_iter is None:
+            num_iter = self.num_iter
         w = (1.0 if self.opt.d_weight_mul_mode == "single"
-             else float(self._d_weight_rng.random()))
+             else float(np.random.default_rng(
+                 (self.opt.manual_seed + 2, num_iter)).random()))
         hdr = batch["hdr"]
         wc = np.full_like(hdr, w)
         return dict(batch, hdr=np.concatenate([hdr, wc], axis=-1))
@@ -227,7 +326,8 @@ class GanTrainer:
                 epoch, epoch_iter)
         ckpt.save_train_state(
             os.path.join(self.opt.output_dir, P.MODELS_SAVE_PATH),
-            epoch, epoch_iter, self.state)
+            epoch, epoch_iter, self.state,
+            extra_meta={"num_iter": self.num_iter})
         loss_dir = os.path.join(self.opt.output_dir, P.LOSS_PATH)
         self.logger.plot(loss_dir, f"summary epoch_=_{epoch}")
         self._plot_diagnostics(loss_dir, epoch, logs)
@@ -294,8 +394,10 @@ class GanTrainer:
         if self.opt.fid_real_path and os.path.isdir(self.opt.fid_real_path):
             try:
                 from uncltmo_tpu.metrics.fid import calculate_fid_given_paths
+                weights = getattr(self.opt, "inception_weights", "none")
                 fid = calculate_fid_given_paths(
-                    [self.opt.fid_real_path, out_dir])
+                    [self.opt.fid_real_path, out_dir],
+                    weights_path=None if weights == "none" else weights)
                 np.save(os.path.join(self.opt.output_dir, "fid_results.npy"),
                         {model_params["model_name"]: fid})
             except RuntimeError as e:
@@ -303,9 +405,26 @@ class GanTrainer:
         return outs
 
     def load_checkpoint(self):
+        """Restore the newest checkpoint with mid-epoch bookkeeping: the
+        run resumes at (epoch, epoch_iter) with the global num_iter
+        restored, reproducing the uninterrupted trajectory — unlike the
+        reference, which replays the whole epoch (`GanTrainer.py:485-494`).
+        Older checkpoints without num_iter fall back to epoch-granular
+        resume."""
         path = ckpt.latest_checkpoint(
             os.path.join(self.opt.output_dir, P.MODELS_SAVE_PATH))
         if path:
             self.state, meta = ckpt.load_train_state(path, self.state)
             self.epoch = int(meta.get("epoch", 0))
-            print(f"restored checkpoint {path} (epoch {self.epoch})")
+            self._resumed = True
+            if "num_iter" in meta:
+                self.num_iter = int(meta["num_iter"])
+                self._resume_iter = int(meta.get("epoch_iter", 0))
+                # a checkpoint taken at the last iteration of an epoch
+                # resumes at the NEXT epoch instead of skipping through
+                # an entire epoch of batch production
+                if self._resume_iter >= self.pipeline.steps_per_epoch():
+                    self.epoch += 1
+                    self._resume_iter = 0
+            print(f"restored checkpoint {path} (epoch {self.epoch}, "
+                  f"iter {self._resume_iter}, num_iter {self.num_iter})")

@@ -23,16 +23,23 @@ def checkpoint_name(epoch: int, epoch_iter: int) -> str:
 
 
 def save_train_state(models_dir: str, epoch: int, epoch_iter: int,
-                     state) -> str:
-    """Write {models_dir}/net_epoch{E}_iter{I}.msgpack + meta json."""
+                     state, extra_meta: Optional[dict] = None) -> str:
+    """Write {models_dir}/net_epoch{E}_iter{I}.msgpack + meta json.
+
+    `extra_meta` carries resume bookkeeping beyond the reference's
+    epoch-only semantics (`GanTrainer.py:485-494`), e.g. the global
+    `num_iter` so a mid-epoch kill resumes deterministically."""
     os.makedirs(models_dir, exist_ok=True)
     path = os.path.join(models_dir, checkpoint_name(epoch, epoch_iter))
     state_host = jax.device_get(state)
     with open(path, "wb") as f:
         f.write(flax.serialization.to_bytes(state_host))
+    meta = {"epoch": epoch, "epoch_iter": epoch_iter,
+            "step": int(state_host.step)}
+    if extra_meta:
+        meta.update(extra_meta)
     with open(path + ".meta.json", "w") as f:
-        json.dump({"epoch": epoch, "epoch_iter": epoch_iter,
-                   "step": int(state_host.step)}, f)
+        json.dump(meta, f)
     return path
 
 
