@@ -117,15 +117,18 @@ def cmd_fid(args):
 
 def cmd_btmqi(args):
     from uncltmo_tpu.metrics.btmqi import btmqi
+    model_mat = args.model_mat or None
+    label = "SVR BTMQI" if model_mat else "surrogate BTMQI"
     scores = {}
     for f in sorted(os.listdir(args.ldr_dir)):
         if not f.lower().endswith((".png", ".jpg")):
             continue
-        s, _ = btmqi(read_ldr_image(os.path.join(args.ldr_dir, f)))
+        s, _ = btmqi(read_ldr_image(os.path.join(args.ldr_dir, f)),
+                     model_mat=model_mat)
         scores[f] = s
         print(f"{f}: {s:.4f}")
     if scores:
-        print(f"mean surrogate BTMQI: {np.mean(list(scores.values())):.4f}")
+        print(f"mean {label}: {np.mean(list(scores.values())):.4f}")
         _save(args.output, scores)
 
 
@@ -170,6 +173,12 @@ def main(argv=None):
     f.add_argument("--output", default="")
     b = sub.add_parser("btmqi")
     b.add_argument("--ldr_dir", required=True)
+    b.add_argument("--model_mat", default="",
+                   help="path to the reference's libsvm model.mat "
+                        "(metrics/BTMQI_metric/model.mat): runs the "
+                        "reference's actual SVR on the reconstructed "
+                        "features (published score scale) instead of the "
+                        "surrogate combination")
     b.add_argument("--output", default="")
     args = p.parse_args(argv)
     {"tmqi": cmd_tmqi, "warp": cmd_warp, "fid": cmd_fid,

@@ -1,4 +1,6 @@
 """Warp error, FID math, BTMQI smoke/sanity tests."""
+import os
+
 import numpy as np
 import pytest
 
@@ -98,6 +100,50 @@ def test_btmqi_sanity(rng):
     s_flat, f_flat = btmqi(flat)
     assert f_good.shape == (11,)
     assert s_good > s_flat  # detailed mid-tone image beats a flat dark one
+
+
+_REF_MODEL_MAT = "/root/reference/metrics/BTMQI_metric/model.mat"
+
+
+def test_svr_predict_exact_math(rng):
+    """SVRModel.predict == hand-computed libsvm decision values."""
+    from uncltmo_tpu.metrics.btmqi import SVRModel
+    svs = rng.standard_normal((7, 11))
+    coef = rng.standard_normal(7)
+    gamma, rho = 1.0 / 11.0, -2.5
+    model = SVRModel(svs, coef, rho, gamma)
+    x = rng.standard_normal(11)
+    expect = sum(c * np.exp(-gamma * np.sum((sv - x) ** 2))
+                 for c, sv in zip(coef, svs)) - rho
+    np.testing.assert_allclose(model.predict(x), expect, rtol=1e-12)
+    batch = rng.standard_normal((3, 11))
+    out = model.predict(batch)
+    assert out.shape == (3,)
+    np.testing.assert_allclose(out[0], model.predict(batch[0]), rtol=1e-12)
+
+
+def test_btmqi_reference_svr_model(rng):
+    """The reference's binary model.mat parses into the documented nu-SVR
+    (81 SVs x 11 features, RBF gamma=1/11, rho=-6.2008) and produces
+    finite scores on the published ~2..8 BTMQI scale for feature vectors
+    inside the support-vector envelope."""
+    if not os.path.exists(_REF_MODEL_MAT):
+        pytest.skip("reference model.mat not present")
+    from uncltmo_tpu.metrics.btmqi import btmqi, load_svr_model
+    model = load_svr_model(_REF_MODEL_MAT)
+    assert model.support_vectors.shape == (81, 11)
+    assert abs(model.gamma - 1.0 / 11.0) < 1e-9
+    assert abs(model.rho - (-6.2008)) < 1e-3
+    # SV rows are points the trainer saw: predictions there must land in a
+    # sane neighbourhood of the published score range (result.mat: 1.9-7.9)
+    preds = model.predict(model.support_vectors)
+    assert np.all(np.isfinite(preds))
+    assert 0.0 < preds.mean() < 10.0, preds.mean()
+    # end-to-end: reconstructed features through the real SVR
+    im = np.clip(rng.normal(0.45, 0.2, (128, 128)), 0, 1)
+    s, f = btmqi(im, model_mat=_REF_MODEL_MAT)
+    assert np.isfinite(s)
+    assert f.shape == (11,)
 
 
 def _shifted_pair(shift=6, shape=(200, 240)):

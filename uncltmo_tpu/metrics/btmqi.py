@@ -14,16 +14,31 @@ Information, Naturalness and Structure", IEEE TMM 2016):
     brightness and local contrast (`metrics/tmqi.py`);
   * structure:    mean local gradient energy and its dispersion.
 
-The learned SVR that maps features to the published BTMQI scale lives only
-inside the reference's binary `model.mat`; it cannot be ported.  `btmqi()`
-therefore returns a **surrogate scalar** (documented monotone combination
-of the features) suitable for *relative* comparisons between tone mappers,
-plus the raw feature vector for anyone who trains their own regressor.
-Scores are NOT numerically comparable to published BTMQI values.
+The learned regressor IS portable: `model.mat` is a standard libsvm MATLAB
+model struct (nu-SVR, RBF kernel, 81 support vectors over 11 features,
+gamma = 1/11, rho = -6.2008) that scipy.io reads directly, and
+`load_svr_model` / `svr_predict` below are an exact port of libsvm's
+prediction math — validated against hand-computed kernel sums.  What is
+NOT portable is the *feature extraction*: `BTMQI.p` is encrypted MATLAB
+p-code (911 bytes — a wrapper; the real feature code was never shipped),
+so the mapping from pixels to the model's 11-D feature space is
+reconstructed from the paper here and does not match bit-for-bit.  The
+support vectors pin the feature layout partially (columns 0-4 and 5-8 are
+two decreasing families, column 9 lives in [0, 1] like the TMQI
+statistical naturalness, column 10 is a small positive dispersion term),
+which this extractor mirrors.
+
+`btmqi(image)` returns the documented surrogate scalar (monotone feature
+combination, good for *relative* comparisons); `btmqi(image,
+model_mat=...)` additionally runs the reference's actual SVR on the
+reconstructed features — on the published score scale (~2..8), but only as
+faithful as the feature reconstruction.  Both caveats are inherent to the
+reference shipping binaries without source (SURVEY §2).
 """
 from __future__ import annotations
 
-from typing import Tuple
+import os
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -37,9 +52,15 @@ _BINS = 256
 
 
 def _entropy(x01: jnp.ndarray) -> jnp.ndarray:
-    """Shannon entropy (bits) of an 8-bit-quantized [0,1] image."""
+    """Shannon entropy (bits) of an 8-bit-quantized [0,1] image.
+
+    Histogram as a one-hot contraction, not a scatter-add: TPU scatters
+    serialize per index (minutes for a 128^2 image through the remote
+    runtime), while the (N, 256) one-hot reduce is a single dense VPU
+    pass."""
     idx = jnp.clip((x01 * (_BINS - 1)).astype(jnp.int32), 0, _BINS - 1)
-    hist = jnp.zeros((_BINS,), jnp.float32).at[idx.reshape(-1)].add(1.0)
+    hist = jax.nn.one_hot(idx.reshape(-1), _BINS,
+                          dtype=jnp.float32).sum(axis=0)
     p = hist / hist.sum()
     return -jnp.sum(jnp.where(p > 0, p * jnp.log2(jnp.maximum(p, 1e-12)),
                               0.0))
@@ -66,10 +87,60 @@ def btmqi_features(gray01: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack(feats)
 
 
-def btmqi(image: np.ndarray) -> Tuple[float, np.ndarray]:
-    """Surrogate blind quality score (higher is better) + raw features.
+class SVRModel:
+    """An RBF-kernel (nu-/epsilon-)SVR in libsvm's parameterization."""
+
+    def __init__(self, support_vectors: np.ndarray, sv_coef: np.ndarray,
+                 rho: float, gamma: float):
+        self.support_vectors = np.asarray(support_vectors, np.float64)
+        self.sv_coef = np.ravel(np.asarray(sv_coef, np.float64))
+        self.rho = float(rho)
+        self.gamma = float(gamma)
+        assert self.support_vectors.shape[0] == self.sv_coef.shape[0]
+
+    def predict(self, features: np.ndarray) -> np.ndarray:
+        """Exact libsvm decision value: sum_i coef_i * K(SV_i, x) - rho,
+        K(u, v) = exp(-gamma * ||u - v||^2) (libsvm svm.cpp
+        `svm_predict_values`, RBF branch)."""
+        x = np.atleast_2d(np.asarray(features, np.float64))  # (N, D)
+        d2 = ((self.support_vectors[None, :, :] - x[:, None, :]) ** 2
+              ).sum(-1)                                      # (N, nSV)
+        k = np.exp(-self.gamma * d2)
+        out = k @ self.sv_coef - self.rho
+        return out if out.shape[0] > 1 else out[0]
+
+
+def load_svr_model(model_mat_path: str) -> SVRModel:
+    """Parse a libsvm MATLAB model struct (the reference's
+    `metrics/BTMQI_metric/model.mat`): Parameters = [svm_type, kernel_type,
+    degree, gamma, coef0]; only the RBF kernel (kernel_type 2) the BTMQI
+    model uses is supported."""
+    import scipy.io as sio
+    if not os.path.exists(model_mat_path):
+        raise FileNotFoundError(f"SVR model not found: {model_mat_path}")
+    m = sio.loadmat(model_mat_path)["model"][0, 0]
+    params = np.ravel(np.asarray(m["Parameters"], np.float64))
+    kernel_type = int(params[1])
+    if kernel_type != 2:
+        raise ValueError(f"only the RBF kernel is supported "
+                         f"(kernel_type={kernel_type})")
+    svs = m["SVs"]
+    if hasattr(svs, "toarray"):     # MATLAB sparse
+        svs = svs.toarray()
+    return SVRModel(np.asarray(svs, np.float64), m["sv_coef"],
+                    float(np.ravel(m["rho"])[0]), gamma=float(params[3]))
+
+
+def btmqi(image: np.ndarray,
+          model_mat: Optional[str] = None) -> Tuple[float, np.ndarray]:
+    """Blind quality score (higher is better) + raw feature vector.
 
     image: (H, W) or (H, W, 3) tone-mapped LDR in [0, 1] or [0, 255].
+    Without `model_mat`: the documented surrogate scalar.  With
+    `model_mat` (path to the reference's libsvm model.mat): the
+    reference's actual SVR evaluated on the reconstructed features —
+    published score scale, feature-reconstruction caveat in the module
+    docstring.
     """
     im = np.asarray(image, np.float32)
     if im.max() > 1.5:
@@ -77,6 +148,9 @@ def btmqi(image: np.ndarray) -> Tuple[float, np.ndarray]:
     if im.ndim == 3:
         im = im[..., :3] @ np.asarray([0.2126, 0.7152, 0.0722], np.float32)
     f = np.asarray(btmqi_features(jnp.asarray(im)))
+    if model_mat is not None:
+        model = load_svr_model(model_mat)
+        return float(model.predict(f)), f
     n_exp = len(_EXPOSURES)
     # surrogate: mean re-exposure entropy (information, /8 to [0,1])
     #          + naturalness + local-contrast energy (scaled)
