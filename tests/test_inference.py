@@ -374,3 +374,44 @@ def test_bicubic_resize_matches_torch(rng):
         ref = ref.numpy().transpose(0, 2, 3, 1)
         out = np.asarray(bicubic_resize(jnp.asarray(x), oh, ow))
         np.testing.assert_allclose(out, ref, atol=5e-5)
+
+
+@pytest.mark.skipif(not os.path.exists(BELGIUM), reason="no sample hdr")
+def test_run_on_path_pipelined_matches_sequential(tmp_path, rng):
+    """The 3-stage pipelined directory driver (loader thread -> device ->
+    saver thread) must produce byte-identical PNGs to the sequential
+    path — only the scheduling moves, never the math."""
+    import shutil
+    import jax
+    from uncltmo_tpu.config import get_model_params
+    from uncltmo_tpu.inference.runner import InferenceRunner
+    from uncltmo_tpu.models.unet import UNetTMO
+    from uncltmo_tpu.utils.checkpoint import save_params
+    from uncltmo_tpu.utils.io import read_ldr_image
+
+    model_dir = tmp_path / "model"
+    model_dir.mkdir()
+    model = UNetTMO()
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                    jnp.zeros((1, 256, 256, 1)))
+    net = str(model_dir / "trained_weights.msgpack")
+    save_params(net, {"params_G": variables["params"]})
+    shutil.copy(REF_SETTINGS, model_dir / "run_settings.npy")
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    for i in range(3):
+        shutil.copy(BELGIUM, in_dir / f"im{i}.hdr")
+    lam = tmp_path / "lams.npy"
+    np.save(lam, {f"im{i}": 400.0 for i in range(3)})
+
+    mp = get_model_params("m", str(model_dir / "run_settings.npy"))
+    runner = InferenceRunner(mp, net)
+    outs_seq = runner.run_on_path(str(in_dir), str(tmp_path / "seq"),
+                                  str(lam), scale=4, pipeline_io=False)
+    outs_pipe = runner.run_on_path(str(in_dir), str(tmp_path / "pipe"),
+                                   str(lam), scale=4, pipeline_io=True)
+    assert len(outs_seq) == len(outs_pipe) == 3
+    for a, b in zip(outs_seq, outs_pipe):
+        assert os.path.basename(a) == os.path.basename(b)
+        np.testing.assert_array_equal(read_ldr_image(a), read_ldr_image(b))

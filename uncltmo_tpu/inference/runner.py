@@ -157,18 +157,32 @@ class InferenceRunner:
         gray_p, dy, dx = preprocess.pad_to_unet_grid(gray)
         return rgb_p, gray_p, dy, dx
 
+    def _tonemap_loaded(self, rgb_p, gray_p, dy, dx) -> jnp.ndarray:
+        """Loaded padded frame -> tone-mapped [0,1] RGB (device array,
+        NOT yet fetched — callers overlap the fetch with the next image's
+        compute).  Tiled path by default; whole-image mode runs the single
+        forward with the GCN tables interpolated to the bottleneck size."""
+        if self.whole_image:
+            x = gray_p[None].astype(self.engine.dtype)
+            fake = self._whole_fwd(self.engine.variables, x,
+                                   self.add_frame, dy, dx)[0]
+            fake = fake.astype(jnp.float32)
+            if self.add_frame:
+                rgb = preprocess.crop_frame(rgb_p, dy, dx)
+                return postprocess_device(rgb, fake, 0, 0)
+            h, w = rgb_p.shape[0], rgb_p.shape[1]
+            return postprocess_whole_device(rgb_p, fake, h - dy, w - dx)
+        fake = self.engine.run_image(gray_p)
+        return self._postprocess(rgb_p, fake, dy, dx)
+
     def run_single_image(self, im_path: str, im_name: str, output_path: str,
                          f_factor_path: str, scale: int = 4,
                          suffix: str = "_UnCLTMO") -> str:
         """`run_model_on_single_image2` equivalent
         (`model_save_util.py:293-405`); whole-image mode (add_frame models,
         or whole_image=True) takes the non-tiled path instead."""
-        if self.whole_image:
-            return self.run_single_image_whole(im_path, im_name, output_path,
-                                               f_factor_path, scale, suffix)
         rgb_p, gray_p, dy, dx = self.load_image(im_path, f_factor_path, scale)
-        fake = self.engine.run_image(gray_p)
-        out01 = self._postprocess(rgb_p, fake, dy, dx)
+        out01 = self._tonemap_loaded(rgb_p, gray_p, dy, dx)
         return save_uint8_png(np.asarray(out01), output_path,
                               im_name + suffix)
 
@@ -187,33 +201,58 @@ class InferenceRunner:
         here — its padded rgb no longer matches the cropped fake — so this
         is the consistent completion of its protocol, not a translation.)
         """
-        rgb_p, gray_p, dy, dx = self.load_image(im_path, f_factor_path, scale)
-        x = gray_p[None].astype(self.engine.dtype)
-        fake = self._whole_fwd(self.engine.variables, x,
-                               self.add_frame, dy, dx)[0]
-        fake = fake.astype(jnp.float32)
-        if self.add_frame:
-            rgb = preprocess.crop_frame(rgb_p, dy, dx)
-            out01 = postprocess_device(rgb, fake, 0, 0)
-        else:
-            h, w = rgb_p.shape[0], rgb_p.shape[1]
-            out01 = postprocess_whole_device(rgb_p, fake, h - dy, w - dx)
-        return save_uint8_png(np.asarray(out01), output_path,
-                              im_name + suffix)
+        assert self.whole_image
+        return self.run_single_image(im_path, im_name, output_path,
+                                     f_factor_path, scale, suffix)
 
     def run_on_path(self, input_images_path: str, output_images_path: str,
-                    f_factor_path: str, scale: int = 4) -> List[str]:
-        """Per-directory driver (`model_save_util.py:160-174`)."""
-        outs = []
-        for img_name in sorted(os.listdir(input_images_path)):
-            if os.path.splitext(img_name)[1] not in HDR_EXTENSIONS:
-                continue
-            print(f"processing [{img_name}]")
-            outs.append(self.run_single_image(
+                    f_factor_path: str, scale: int = 4,
+                    pipeline_io: bool = True) -> List[str]:
+        """Per-directory driver (`model_save_util.py:160-174`).
+
+        With `pipeline_io` (default), the three stages overlap across
+        images: a loader thread reads/decodes/preprocesses image i+1 and a
+        saver thread fetches/encodes image i-1 while the device runs image
+        i — the reference runs all three serially per image
+        (`model_save_util.py:160-174`).  Outputs are byte-identical to the
+        sequential path (stage boundaries only move *when* work happens).
+        """
+        names = [n for n in sorted(os.listdir(input_images_path))
+                 if os.path.splitext(n)[1] in HDR_EXTENSIONS]
+        if not pipeline_io or len(names) < 2:
+            outs = []
+            for img_name in names:
+                print(f"processing [{img_name}]")
+                outs.append(self.run_single_image(
+                    os.path.join(input_images_path, img_name),
+                    os.path.splitext(img_name)[0], output_images_path,
+                    f_factor_path, scale))
+            return outs
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        from uncltmo_tpu.data.pipeline import device_prefetch
+
+        def _load(img_name):
+            return img_name, self.load_image(
                 os.path.join(input_images_path, img_name),
-                os.path.splitext(img_name)[0], output_images_path,
-                f_factor_path, scale))
-        return outs
+                f_factor_path, scale)
+
+        def _save(img_name, out01):
+            # np.asarray here = the device fetch; running it on the saver
+            # thread overlaps transfer + PNG encode with the next compute
+            return save_uint8_png(
+                np.asarray(out01), output_images_path,
+                os.path.splitext(img_name)[0] + "_UnCLTMO")
+
+        futures = []
+        with ThreadPoolExecutor(max_workers=1) as saver:
+            for img_name, (rgb_p, gray_p, dy, dx) in device_prefetch(
+                    iter(names), _load, depth=2):
+                print(f"processing [{img_name}]")
+                out01 = self._tonemap_loaded(rgb_p, gray_p, dy, dx)
+                futures.append(saver.submit(_save, img_name, out01))
+            return [f.result() for f in futures]
 
     # ------------------------------------------------------------------
     def _load_scene(self, im_paths: List[str], f_factor_path: str):
