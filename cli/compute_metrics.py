@@ -116,8 +116,9 @@ def cmd_fid(args):
 
 
 def cmd_btmqi(args):
-    from uncltmo_tpu.metrics.btmqi import btmqi
-    model_mat = args.model_mat or None
+    from uncltmo_tpu.metrics.btmqi import btmqi, load_svr_model
+    # parse model.mat once, not per image
+    model_mat = load_svr_model(args.model_mat) if args.model_mat else None
     label = "SVR BTMQI" if model_mat else "surrogate BTMQI"
     scores = {}
     for f in sorted(os.listdir(args.ldr_dir)):

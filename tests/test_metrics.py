@@ -421,3 +421,18 @@ def test_fid_requires_weights():
         calculate_fid_given_paths(["a", "b"])
     with pytest.raises(FileNotFoundError, match="Inception weights"):
         load_inception_params("/nonexistent/weights.pth")
+
+
+def test_adaptive_avg_pool_rectangular_matches_torch(rng):
+    """Per-axis averaging matrices: rectangular (H != W) feature maps must
+    pool exactly like torch adaptive_avg_pool2d, not crash."""
+    torch = pytest.importorskip("torch")
+    import jax.numpy as jnp
+    from uncltmo_tpu.metrics.inception import adaptive_avg_pool
+    for (h, w) in [(17, 18), (17, 17), (9, 23)]:
+        x = rng.random((2, h, w, 5)).astype(np.float32)
+        out = np.asarray(adaptive_avg_pool(jnp.asarray(x), 8))
+        ref = torch.nn.functional.adaptive_avg_pool2d(
+            torch.tensor(x.transpose(0, 3, 1, 2)), (8, 8))
+        ref = ref.numpy().transpose(0, 2, 3, 1)
+        np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)

@@ -266,3 +266,27 @@ def test_pipeline_worker_exception_propagates():
     pipe = TrainPipeline(Boom(), batch_size=2, workers=4)
     with pytest.raises(RuntimeError, match="producer blew up"):
         list(pipe.epoch(0))
+
+
+def test_pipeline_epoch_start_skips_prefix_production():
+    """epoch(start=k) yields exactly batches k..n-1, byte-identical to the
+    suffix of a full epoch, without producing the prefix (per-batch-seeded
+    RNG makes batch identity independent of production order)."""
+    calls = []
+
+    class CountingSource(SyntheticDataSource):
+        def sample(self, rng):
+            calls.append(1)
+            return super().sample(rng)
+
+    pipe_full = TrainPipeline(SyntheticDataSource(n_items=12),
+                              batch_size=2, seed=5)
+    full = list(pipe_full.epoch(0))
+    src = CountingSource(n_items=12)
+    pipe = TrainPipeline(src, batch_size=2, seed=5)
+    tail = list(pipe.epoch(0, start=4))
+    assert len(full) == 6 and len(tail) == 2
+    assert len(calls) == 2 * 2          # only batches 4, 5 were produced
+    for a, b in zip(full[4:], tail):
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k])

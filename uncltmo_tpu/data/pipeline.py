@@ -319,13 +319,17 @@ class TrainPipeline:
         items = [self.source.sample(rng) for _ in range(self.batch_size)]
         return {k: np.stack([it[k] for it in items]) for k in items[0]}
 
-    def epoch(self, epoch_idx: int,
-              stream: int = 0) -> Iterator[Dict[str, np.ndarray]]:
-        """Yield one epoch of batches, produced by a worker pool.
+    def epoch(self, epoch_idx: int, stream: int = 0,
+              start: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+        """Yield batches `start`..steps_per_epoch-1 of one epoch, produced
+        by a worker pool.
 
         `stream` separates RNG streams that share epoch indices (e.g. the
         D-pretrain phase vs the main run — with a shared stream, pretrain
         epoch i and main epoch i would replay byte-identical batches).
+        `start` resumes mid-epoch WITHOUT producing the skipped prefix:
+        batch identity is (seed, stream, epoch, index), so batch i is the
+        same whether or not 0..i-1 were ever generated.
 
         Worker exceptions re-raise in the consumer (a dead worker must not
         hang training), and abandoning the generator early stops the pool
@@ -333,11 +337,11 @@ class TrainPipeline:
         (prefetch + workers) batches ahead of consumption.
         """
         n = self.steps_per_epoch()
-        n_workers = min(self.workers, n)
+        n_workers = min(self.workers, max(n - start, 1))
         lock = threading.Condition()
         results: Dict[int, object] = {}
-        next_idx = [0]       # next batch index to claim (under lock)
-        consumed = [0]       # first batch index not yet yielded
+        next_idx = [start]   # next batch index to claim (under lock)
+        consumed = [start]   # first batch index not yet yielded
         stop = threading.Event()
         window = self.prefetch + n_workers
 
@@ -366,7 +370,7 @@ class TrainPipeline:
         for t in threads:
             t.start()
         try:
-            for i in range(n):
+            for i in range(start, n):
                 with lock:
                     while i not in results:
                         lock.wait(0.5)

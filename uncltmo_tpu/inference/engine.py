@@ -223,7 +223,10 @@ class TileEngine:
         Compiled executables are cached per (shape, post_fn).  The cache
         keys on `post_name` when given, else on `post_fn` object identity —
         a caller passing a FRESH closure per call must pass `post_name` or
-        every call recompiles and the cache grows unboundedly.
+        every call recompiles and the cache grows unboundedly.  CONTRACT:
+        `post_name` asserts semantic identity — reusing a name with a
+        *different* function silently returns results compiled from the
+        first one (names are compile-cache keys, not labels).
         """
         f, h, w = (int(frames_fhw1.shape[0]), int(frames_fhw1.shape[1]),
                    int(frames_fhw1.shape[2]))

@@ -153,8 +153,14 @@ class InferenceRunner:
                                          rgb_np.shape[0] // scale))
         rgb, gray = preprocess_device(jnp.asarray(rgb_np), f_factor,
                                       self.data_trc)
-        rgb_p, dy, dx = preprocess.pad_to_unet_grid(rgb)
-        gray_p, dy, dx = preprocess.pad_to_unet_grid(gray)
+        # whole-image mode pads only to the 16k+16 U-Net grid (the
+        # reference's resize_im, `data_loader_util.py:135-157`); the
+        # 256-floor is a TILED-path requirement (sub-tile images cannot
+        # feed the tiler) and would bury small images in replicate border
+        min_size = 16 if self.whole_image else 256
+        rgb_p, dy, dx = preprocess.pad_to_unet_grid(rgb, min_size=min_size)
+        gray_p, dy, dx = preprocess.pad_to_unet_grid(gray,
+                                                     min_size=min_size)
         return rgb_p, gray_p, dy, dx
 
     def _tonemap_loaded(self, rgb_p, gray_p, dy, dx) -> jnp.ndarray:

@@ -38,7 +38,7 @@ reference shipping binaries without source (SURVEY §2).
 from __future__ import annotations
 
 import os
-from typing import Optional, Tuple
+from typing import Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -132,12 +132,14 @@ def load_svr_model(model_mat_path: str) -> SVRModel:
 
 
 def btmqi(image: np.ndarray,
-          model_mat: Optional[str] = None) -> Tuple[float, np.ndarray]:
+          model_mat: Union[None, str, SVRModel] = None
+          ) -> Tuple[float, np.ndarray]:
     """Blind quality score (higher is better) + raw feature vector.
 
     image: (H, W) or (H, W, 3) tone-mapped LDR in [0, 1] or [0, 255].
     Without `model_mat`: the documented surrogate scalar.  With
-    `model_mat` (path to the reference's libsvm model.mat): the
+    `model_mat` (path to the reference's libsvm model.mat, or an already
+    -loaded `SVRModel` — load once when scoring a directory): the
     reference's actual SVR evaluated on the reconstructed features —
     published score scale, feature-reconstruction caveat in the module
     docstring.
@@ -149,7 +151,8 @@ def btmqi(image: np.ndarray,
         im = im[..., :3] @ np.asarray([0.2126, 0.7152, 0.0722], np.float32)
     f = np.asarray(btmqi_features(jnp.asarray(im)))
     if model_mat is not None:
-        model = load_svr_model(model_mat)
+        model = (model_mat if isinstance(model_mat, SVRModel)
+                 else load_svr_model(model_mat))
         return float(model.predict(f)), f
     n_exp = len(_EXPOSURES)
     # surrogate: mean re-exposure entropy (information, /8 to [0,1])

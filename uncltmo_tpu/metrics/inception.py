@@ -137,16 +137,18 @@ def adaptive_avg_pool(x: jnp.ndarray, out_size: int = 8) -> jnp.ndarray:
     """torch.nn.functional.adaptive_avg_pool2d semantics on NHWC: output
     cell i averages input rows floor(i*H/out) .. ceil((i+1)*H/out)-1
     (`fid_score.py:155-156` pools the 17x17 map to 8x8).  Implemented as
-    two matmuls with a precomputed (out, H) averaging matrix."""
-    h = x.shape[1]
-    starts = (np.arange(out_size) * h) // out_size
-    ends = -((-(np.arange(out_size) + 1) * h) // out_size)  # ceil
-    mat = np.zeros((out_size, h), np.float32)
-    for i, (s, e) in enumerate(zip(starts, ends)):
-        mat[i, s:e] = 1.0 / (e - s)
-    m = jnp.asarray(mat)
-    x = jnp.einsum("oh,nhwc->nowc", m, x)
-    return jnp.einsum("ow,nhwc->nhoc", m, x)
+    two matmuls with precomputed (out, H) / (out, W) averaging matrices
+    (one per axis — rectangular maps pool per-axis, like torch)."""
+    def _mat(n: int) -> jnp.ndarray:
+        starts = (np.arange(out_size) * n) // out_size
+        ends = -((-(np.arange(out_size) + 1) * n) // out_size)  # ceil
+        mat = np.zeros((out_size, n), np.float32)
+        for i, (s, e) in enumerate(zip(starts, ends)):
+            mat[i, s:e] = 1.0 / (e - s)
+        return jnp.asarray(mat)
+
+    x = jnp.einsum("oh,nhwc->nowc", _mat(x.shape[1]), x)
+    return jnp.einsum("ow,nhwc->nhoc", _mat(x.shape[2]), x)
 
 
 # ---------------------------------------------------------------------------

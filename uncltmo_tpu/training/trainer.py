@@ -257,8 +257,12 @@ class GanTrainer:
         summary_every = max(steps // denom, 1)
         t0 = time.time()
         # pretrain uses a separate RNG stream: it shares epoch indices
-        # with the main run and must not replay identical batches
-        batches = self.pipeline.epoch(epoch, stream=1 if pretrain else 0)
+        # with the main run and must not replay identical batches.  A
+        # resumed epoch starts PRODUCTION at start_iter too — batch
+        # identity is (seed, stream, epoch, index), so the skipped prefix
+        # never needs generating.
+        batches = self.pipeline.epoch(epoch, stream=1 if pretrain else 0,
+                                      start=start_iter)
         # host-side prepare (weight channel + dtype cast + device_put) runs
         # on a transfer thread `depth` batches ahead, overlapping uploads
         # with the device step.  The slider weight channel derives from the
@@ -272,8 +276,7 @@ class GanTrainer:
                 batch, pretrain, num_iter=base_iter + it)
             return it, self._put(batch)
 
-        indexed = ((it, b) for it, b in
-                   enumerate(batches, start=1) if it > start_iter)
+        indexed = enumerate(batches, start=start_iter + 1)
         from uncltmo_tpu.data.pipeline import device_prefetch
         for it, dev_batch in device_prefetch(indexed, _prepare, depth=2):
             self.num_iter += 1
@@ -289,7 +292,8 @@ class GanTrainer:
             if self.num_iter % self.opt.log_every == 0 or it == steps:
                 logs = {k: float(v) for k, v in logs.items()}
                 self.logger.log(self.num_iter, logs, epoch=epoch,
-                                sec_per_step=(time.time() - t0) / it)
+                                sec_per_step=(time.time() - t0)
+                                / (it - start_iter))
             if not pretrain and it % summary_every == 0:
                 self.print_epoch_summary(epoch, it, logs)
 
@@ -319,7 +323,9 @@ class GanTrainer:
         print_epoch_losses_summary(
             epoch, self.opt.num_epochs,
             {k: float(v) for k, v in logs.items()
-             if not k.startswith("gradG/")})  # grad-flow gets its own plot
+             # grad-flow gets its own plot; fake/ stats are diagnostics
+             # (printed via --verbose), not losses
+             if not k.startswith(("gradG/", "fake/"))})
         if self.tester is not None:
             self.tester.save_images_for_model(
                 self.gen, self._generator_params(), self.opt.output_dir,

@@ -40,8 +40,10 @@ class MetricsLogger:
         os.makedirs(loss_dir, exist_ok=True)
         fig, ax = plt.subplots(figsize=(10, 5))
         for k, hist in self.history.items():
-            if not hist or k.startswith("gradG/"):
-                continue  # per-layer grad scalars have their own bar plot
+            if not hist or k.startswith(("gradG/", "fake/")):
+                # per-layer grad scalars have their own bar plot; fake/
+                # tensor stats are diagnostics, not losses
+                continue
             steps, vals = zip(*hist)
             ax.plot(steps, vals, label=k)
         ax.set_xlabel("iterations")
