@@ -377,3 +377,41 @@ def test_kill_and_resume_reproduces_trajectory(tmp_path):
         np.testing.assert_allclose(traj_b[it], traj_a[it], rtol=1e-6,
                                    err_msg=f"iter {it} diverged after "
                                            "resume")
+
+
+def test_async_saver_matches_sync_and_propagates_errors(tmp_path):
+    """AsyncSaver writes byte-identical checkpoints to the synchronous
+    path, and a worker-side failure re-raises on wait()."""
+    import jax.numpy as jnp
+    import optax
+    from flax.training.train_state import TrainState
+    from uncltmo_tpu.utils import checkpoint as ckpt
+
+    # save_train_state reads .step and msgpack-serializes the pytree; a
+    # minimal real TrainState exercises exactly that path
+    state_ns = TrainState.create(
+        apply_fn=None, params={"w": jnp.arange(12.0).reshape(3, 4)},
+        tx=optax.sgd(0.1)).replace(step=7)
+
+    sync_dir = tmp_path / "sync"
+    async_dir = tmp_path / "async"
+    ckpt.save_train_state(str(sync_dir), 1, 2, state_ns,
+                          extra_meta={"num_iter": 9})
+    saver = ckpt.AsyncSaver()
+    saver.save(str(async_dir), 1, 2, state_ns, extra_meta={"num_iter": 9})
+    saver.wait()
+    name = ckpt.checkpoint_name(1, 2)
+    a = (sync_dir / name).read_bytes()
+    b = (async_dir / name).read_bytes()
+    assert a == b
+    import json as _json
+    ma = _json.loads((sync_dir / (name + ".meta.json")).read_text())
+    mb = _json.loads((async_dir / (name + ".meta.json")).read_text())
+    assert ma == mb and mb["num_iter"] == 9
+
+    # a worker-side failure must surface, not vanish
+    saver.save("/proc/definitely/not/writable", 0, 0, state_ns)
+    with pytest.raises(Exception):
+        saver.wait()
+    # ...and a reaped failure must not re-raise forever
+    saver.wait()

@@ -142,6 +142,10 @@ class Options:
                                        # stats (reference printer.py:146-157
                                        # via GanTrainer.py:271,275); forces
                                        # a device sync per step
+    async_checkpoint: int = 1          # 1/4-epoch saves run on a worker
+                                       # thread (device fetch + serialize +
+                                       # write overlap training); 0 =
+                                       # synchronous, reference-style stall
     # -- filled by get_opt()
     manual_seed: int = 999
     output_dir: str = "."

@@ -140,6 +140,8 @@ class GanTrainer:
             self.state = pmesh.replicate_tree(self.state, self.mesh)
 
         self.logger = MetricsLogger(opt.output_dir)
+        self._ckpt_saver = (ckpt.AsyncSaver()
+                            if getattr(opt, "async_checkpoint", 1) else None)
         # Per-step RNGs are DERIVED (fold_in of a fixed base by stream and
         # num_iter), not split sequentially — so a resumed run at iter N
         # draws the same keys the uninterrupted run would have drawn.
@@ -228,18 +230,24 @@ class GanTrainer:
         """Full training run (`GanTrainer.py:142-166`): optional D
         pre-training epochs, then the main loop with per-epoch LR decay.
         A resume skips the pretrain phase (its effect is in the restored D
-        params) and fast-forwards through the already-trained prefix of
-        the checkpoint's epoch, reproducing the uninterrupted trajectory."""
+        params) and starts the checkpoint's epoch at its saved iteration,
+        reproducing the uninterrupted trajectory.  The finally drains the
+        async checkpoint writer, so a killed run still lands its last
+        enqueued checkpoint before the exception propagates."""
         if self.opt.checkpoint:
             self.load_checkpoint()
-        if not self._resumed:
-            for p_epoch in range(self.opt.d_pretrain_epochs):
-                self.train_epoch(p_epoch, pretrain=True)
-            self.num_iter = 0
-        for epoch in range(self.epoch, self.opt.num_epochs):
-            self.epoch = epoch
-            self.train_epoch(epoch, start_iter=self._resume_iter)
-            self._resume_iter = 0
+        try:
+            if not self._resumed:
+                for p_epoch in range(self.opt.d_pretrain_epochs):
+                    self.train_epoch(p_epoch, pretrain=True)
+                self.num_iter = 0
+            for epoch in range(self.epoch, self.opt.num_epochs):
+                self.epoch = epoch
+                self.train_epoch(epoch, start_iter=self._resume_iter)
+                self._resume_iter = 0
+        finally:
+            if self._ckpt_saver is not None:
+                self._ckpt_saver.wait()
 
     def _step_rng(self, pretrain: bool) -> jax.Array:
         """Stateless per-step key: fold (stream, num_iter) into the base."""
@@ -330,10 +338,14 @@ class GanTrainer:
             self.tester.save_images_for_model(
                 self.gen, self._generator_params(), self.opt.output_dir,
                 epoch, epoch_iter)
-        ckpt.save_train_state(
-            os.path.join(self.opt.output_dir, P.MODELS_SAVE_PATH),
-            epoch, epoch_iter, self.state,
-            extra_meta={"num_iter": self.num_iter})
+        save_args = (os.path.join(self.opt.output_dir, P.MODELS_SAVE_PATH),
+                     epoch, epoch_iter, self.state)
+        save_meta = {"num_iter": self.num_iter}
+        if self._ckpt_saver is not None:
+            # non-blocking: fetch + serialize + write on the saver thread
+            self._ckpt_saver.save(*save_args, extra_meta=save_meta)
+        else:
+            ckpt.save_train_state(*save_args, extra_meta=save_meta)
         loss_dir = os.path.join(self.opt.output_dir, P.LOSS_PATH)
         self.logger.plot(loss_dir, f"summary epoch_=_{epoch}")
         self._plot_diagnostics(loss_dir, epoch, logs)

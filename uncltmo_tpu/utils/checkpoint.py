@@ -4,8 +4,10 @@ Replaces the reference's torch.save dict-of-state-dicts
 (`utils/model_save_util.py:121-131`: epoch + G/D params + both optimizer
 states, named net_epoch{E}_iter{I}.pth) with flax msgpack serialization.
 The filename convention is preserved so tooling that scans the models/
-directory keeps working.  Orbax is used when available for async larger
-checkpoints; msgpack is the portable default.
+directory keeps working.  `AsyncSaver` makes the 1/4-epoch save
+non-blocking: the device fetch + serialization + file IO run on a worker
+thread while the train loop keeps dispatching (JAX arrays are immutable,
+so the captured state pytree stays stable as training advances).
 """
 from __future__ import annotations
 
@@ -41,6 +43,54 @@ def save_train_state(models_dir: str, epoch: int, epoch_iter: int,
     with open(path + ".meta.json", "w") as f:
         json.dump(meta, f)
     return path
+
+
+class AsyncSaver:
+    """Background checkpoint writer.
+
+    `save(...)` enqueues a `save_train_state` call on a single worker
+    thread and returns immediately — the device->host fetch (which awaits
+    the step's computation), msgpack serialization and file write all
+    happen off the training thread, so a checkpoint costs the trainer
+    ~nothing.  A failed save re-raises on the NEXT `save()` or on
+    `wait()`; call `wait()` before reading checkpoints back or exiting
+    (the trainer drains in a finally, so a killed run still lands its
+    last enqueued checkpoint).
+    """
+
+    def __init__(self):
+        from concurrent.futures import ThreadPoolExecutor
+        self._pool = ThreadPoolExecutor(max_workers=1,
+                                        thread_name_prefix="ckpt-saver")
+        self._pending = []
+
+    def save(self, models_dir: str, epoch: int, epoch_iter: int, state,
+             extra_meta: Optional[dict] = None):
+        self._reap(block=False)
+        fut = self._pool.submit(save_train_state, models_dir, epoch,
+                                epoch_iter, state, extra_meta)
+        self._pending.append(fut)
+        return fut
+
+    def _reap(self, block: bool):
+        rest = []
+        try:
+            for i, f in enumerate(self._pending):
+                if block or f.done():
+                    f.result()   # re-raises a worker-side failure
+                else:
+                    rest.append(f)
+        except BaseException:
+            # drop the failed future (it was consumed) but keep the ones
+            # not yet examined, so they still land / report later
+            rest.extend(self._pending[i + 1:])
+            raise
+        finally:
+            self._pending = rest
+
+    def wait(self):
+        """Block until every enqueued checkpoint is on disk."""
+        self._reap(block=True)
 
 
 def load_train_state(path: str, template):
