@@ -32,7 +32,8 @@ def cmd_tmqi(args):
     if getattr(args, "per_scene", 0):
         return _tmqi_scenes(args)
     _tmqi_dir(args.hdr_dir, args.ldr_dir, args.output,
-              int(getattr(args, "max_frames", 0)))
+              int(getattr(args, "max_frames", 0)),
+              revised=bool(getattr(args, "revised", 0)))
 
 
 def _tmqi_scenes(args):
@@ -45,7 +46,8 @@ def _tmqi_scenes(args):
         l = os.path.join(args.ldr_dir, scene)
         if not (os.path.isdir(h) and os.path.isdir(l)):
             continue
-        scores = _tmqi_dir(h, l, "", int(args.max_frames) or 6)
+        scores = _tmqi_dir(h, l, "", int(args.max_frames) or 6,
+                           revised=bool(getattr(args, "revised", 0)))
         if scores:
             all_scores[scene] = scores
             means.append(np.mean([v["Q"] for v in scores.values()]))
@@ -56,7 +58,7 @@ def _tmqi_scenes(args):
                             "mean_Q": float(np.mean(means))})
 
 
-def _tmqi_dir(hdr_dir, ldr_dir, output, max_frames=0):
+def _tmqi_dir(hdr_dir, ldr_dir, output, max_frames=0, revised=False):
     from uncltmo_tpu.metrics.tmqi import tmqi
     scores = {}
     ldr_files = {os.path.splitext(f)[0]: f for f in os.listdir(ldr_dir)
@@ -77,7 +79,7 @@ def _tmqi_dir(hdr_dir, ldr_dir, output, max_frames=0):
         if hdr.shape[:2] != ldr.shape[:2]:
             import cv2
             hdr = cv2.resize(hdr, (ldr.shape[1], ldr.shape[0]))
-        q, s, n, _, _ = tmqi(hdr, ldr.astype(np.float32))
+        q, s, n, _, _ = tmqi(hdr, ldr.astype(np.float32), revised=revised)
         scores[stem] = {"Q": q, "S": s, "N": n}
         print(f"{stem}: Q={q:.4f} S={s:.4f} N={n:.6f}")
     if scores:
@@ -150,6 +152,10 @@ def main(argv=None):
                         "frames each (TMQI_python/demo.py)")
     t.add_argument("--max_frames", type=int, default=0,
                    help="cap frames per dir (demo.py uses 6 per scene)")
+    t.add_argument("--revised", type=int, default=0,
+                   help="TMQIr revised variant (reference TMQI.py "
+                        "--revised: LDR rescaled in S, moving-window "
+                        "naturalness std)")
     t.add_argument("--output", default="")
     w = sub.add_parser("warp")
     w.add_argument("--frames_dir", required=True)

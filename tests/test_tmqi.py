@@ -63,3 +63,21 @@ def test_naturalness_peak():
     n_good = float(jtmqi.statistical_naturalness(jnp.asarray(good)))
     n_dark = float(jtmqi.statistical_naturalness(jnp.asarray(dark)))
     assert n_good > n_dark
+
+
+def test_tmqir_revised_matches_reference():
+    """TMQIr (`TMQI.py:245-257`, the CLI's --revised): LDR rescaled in S,
+    moving-window (reflected-border) naturalness std."""
+    mod = reference_shim.import_reference_tmqi()
+    rng = np.random.default_rng(6)
+    hdr, ldr = _make_pair(rng, 96, 112)
+    q_r, s_r, n_r, sloc_r, _ = mod.TMQIr()(hdr, ldr)
+    q_j, s_j, n_j, sloc_j, _ = jtmqi.tmqi(hdr, ldr, revised=True)
+    assert n_j == pytest.approx(n_r, rel=1e-3, abs=1e-4)
+    assert s_j == pytest.approx(s_r, rel=2e-3)
+    assert q_j == pytest.approx(q_r, rel=1e-3, abs=5e-4)
+    for a, b in zip(sloc_j, sloc_r):
+        assert a == pytest.approx(b, rel=5e-3)
+    # the variants must actually differ on the same inputs
+    q_o, _, n_o, _, _ = jtmqi.tmqi(hdr, ldr)
+    assert n_j != pytest.approx(n_o, rel=1e-6)

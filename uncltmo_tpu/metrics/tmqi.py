@@ -21,6 +21,8 @@ naturalness used by the contrastive losses is a vmap.
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -30,7 +32,7 @@ from jax.scipy.stats import norm as jnorm
 from uncltmo_tpu.ops.color import to_gray_709
 from uncltmo_tpu.ops.resize import haar_half
 from uncltmo_tpu.ops.windows import (block_std_mean, gaussian_kernel_1d,
-                                     window_mean_auto)
+                                     moving_std_mean, window_mean_auto)
 
 _A = 0.8012
 _ALPHA = 0.3046
@@ -50,10 +52,14 @@ def _tmqi_window() -> np.ndarray:
     return g / g.sum()
 
 
-def statistical_naturalness(ldr: jnp.ndarray) -> jnp.ndarray:
-    """N of a grayscale LDR image in [0, 255].  ldr: (H, W) -> scalar."""
+def statistical_naturalness(ldr: jnp.ndarray,
+                            revised: bool = False) -> jnp.ndarray:
+    """N of a grayscale LDR image in [0, 255].  ldr: (H, W) -> scalar.
+
+    `revised` selects TMQIr's moving-window std with reflected borders
+    (`TMQI.py:230-232`) instead of the original's 11x11 block view."""
     u = jnp.mean(ldr)
-    sig = block_std_mean(ldr, 11)
+    sig = moving_std_mean(ldr, 11) if revised else block_std_mean(ldr, 11)
     beta_mode = (_PHAT1 - 1.0) / (_PHAT1 + _PHAT2 - 2.0)
     c0 = jbeta.pdf(beta_mode, _PHAT1, _PHAT2)
     # scipy's beta.pdf is 0 outside the [0, 1] support; jax returns nan
@@ -70,11 +76,14 @@ def batched_naturalness(ldr_bhw: jnp.ndarray) -> jnp.ndarray:
     return jax.vmap(statistical_naturalness)(ldr_bhw)
 
 
-def _s_local(hdr01, ldr, sf: float, k_hdr: float):
+def _s_local(hdr01, ldr, sf: float, k_hdr: float, k_ldr=1.0):
     """One pyramid level's structural fidelity (`TMQI.py:174-207`).
 
     hdr01: (H, W) HDR luma normalized to [0, 1] (x k_hdr = metric range);
-    ldr: (H, W) in [0, 255].
+    ldr: (H, W) in [0, 255].  `k_ldr` rescales the LDR's local std the
+    same way (TMQIr rescales both images to 2^32-1, `TMQI.py:132-138`;
+    affine rescale only enters s_map through the stds/covariance, so a
+    scalar factor is exact).
     """
     win = _tmqi_window()
     x = hdr01[None, ..., None]
@@ -85,8 +94,8 @@ def _s_local(hdr01, ldr, sf: float, k_hdr: float):
     sig2_sq = window_mean_auto(y * y, win) - mu2 * mu2
     sig12 = window_mean_auto(x * y, win) - mu1 * mu2
     sig1 = jnp.sqrt(jnp.maximum(sig1_sq, 0.0)) * k_hdr     # rescale to range
-    sig2 = jnp.sqrt(jnp.maximum(sig2_sq, 0.0))
-    sig12 = sig12 * k_hdr
+    sig2 = jnp.sqrt(jnp.maximum(sig2_sq, 0.0)) * k_ldr
+    sig12 = sig12 * k_hdr * k_ldr
 
     csf = 100.0 * 2.6 * (0.0192 + 0.114 * sf) * np.exp(-(0.114 * sf) ** 1.1)
     u_hdr = 128.0 / (1.4 * csf)
@@ -101,7 +110,7 @@ def _s_local(hdr01, ldr, sf: float, k_hdr: float):
 
 
 def structural_fidelity(hdr01: jnp.ndarray, ldr: jnp.ndarray,
-                        k_hdr: float = _K_RANGE):
+                        k_hdr: float = _K_RANGE, k_ldr=1.0):
     """5-level S (`TMQI.py:145-168`).  Returns (S, s_local list, s_maps)."""
     f = 32.0
     s_locals = []
@@ -109,7 +118,7 @@ def structural_fidelity(hdr01: jnp.ndarray, ldr: jnp.ndarray,
     x, y = hdr01[None, ..., None], ldr[None, ..., None]
     for _ in range(len(_LEVEL_WEIGHTS)):
         f = f / 2.0
-        sl, sm = _s_local(x[0, ..., 0], y[0, ..., 0], f, k_hdr)
+        sl, sm = _s_local(x[0, ..., 0], y[0, ..., 0], f, k_hdr, k_ldr)
         s_locals.append(sl)
         s_maps.append(sm)
         x = haar_half(x)
@@ -119,11 +128,14 @@ def structural_fidelity(hdr01: jnp.ndarray, ldr: jnp.ndarray,
     return s, s_locals, s_maps
 
 
-@jax.jit
-def _tmqi_full(hdr: jnp.ndarray, ldr: jnp.ndarray):
-    n = statistical_naturalness(ldr)
+@functools.partial(jax.jit, static_argnames="revised")
+def _tmqi_full(hdr: jnp.ndarray, ldr: jnp.ndarray, revised: bool = False):
+    """revised=True is the reference's TMQIr (`TMQI.py:245-257`): LDR also
+    rescaled to the 2^32-1 range in S, moving-window naturalness std."""
+    n = statistical_naturalness(ldr, revised=revised)
     hdr01 = (hdr - hdr.min()) / (hdr.max() - hdr.min())
-    s, s_locals, s_maps = structural_fidelity(hdr01, ldr, _K_RANGE)
+    k_ldr = (_K_RANGE / (ldr.max() - ldr.min())) if revised else 1.0
+    s, s_locals, s_maps = structural_fidelity(hdr01, ldr, _K_RANGE, k_ldr)
     q = _A * (s ** _ALPHA) + (1.0 - _A) * (n ** _BETA)
     return q, s, n, tuple(s_locals), tuple(s_maps)
 
@@ -136,9 +148,11 @@ def tmqi_gray(hdr: jnp.ndarray, ldr: jnp.ndarray):
     return q, s, n
 
 
-def tmqi(hdr_image: np.ndarray, ldr_image: np.ndarray):
+def tmqi(hdr_image: np.ndarray, ldr_image: np.ndarray,
+         revised: bool = False):
     """Reference-compatible entry (`TMQI.py:92-103`): accepts RGB or gray
-    numpy arrays, returns (Q, S, N, s_local, s_maps)."""
+    numpy arrays, returns (Q, S, N, s_local, s_maps).  `revised` selects
+    the TMQIr variant (`TMQI.py:245-257`, the CLI's --revised)."""
     hdr = np.asarray(hdr_image, np.float32)
     ldr = np.asarray(ldr_image, np.float32)
     # the reference asserts equal shapes up front (`TMQI.py:94`); without
@@ -148,7 +162,8 @@ def tmqi(hdr_image: np.ndarray, ldr_image: np.ndarray):
         hdr = np.asarray(to_gray_709(jnp.asarray(hdr)))
         ldr = np.asarray(to_gray_709(jnp.asarray(ldr)))
     q, s, n, s_locals, s_maps = _tmqi_full(jnp.asarray(hdr),
-                                           jnp.asarray(ldr))
+                                           jnp.asarray(ldr),
+                                           revised=revised)
     return (float(q), float(s), float(n),
             [float(v) for v in s_locals], [np.asarray(m) for m in s_maps])
 
@@ -156,5 +171,14 @@ def tmqi(hdr_image: np.ndarray, ldr_image: np.ndarray):
 class TMQI:
     """Drop-in callable matching the reference class API (`TMQI.py:73`)."""
 
+    revised = False
+
     def __call__(self, hdrImage, ldrImage, window=None):
-        return tmqi(hdrImage, ldrImage)
+        return tmqi(hdrImage, ldrImage, revised=self.revised)
+
+
+class TMQIr(TMQI):
+    """The revised variant (`TMQI.py:245-257`): both images rescaled to
+    the 2^32-1 range in S; moving-window naturalness std."""
+
+    revised = True

@@ -138,6 +138,23 @@ def adaptive_avg_pool_1(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.mean(x, axis=(1, 2), keepdims=True)
 
 
+def moving_std_mean(x: jnp.ndarray, size: int = 11) -> jnp.ndarray:
+    """Mean of the per-pixel moving-window (size x size) population std.
+
+    Matches `scipy.ndimage.generic_filter(x, np.std, size)` with its
+    default `mode='reflect'` boundary (= np.pad 'symmetric': edge sample
+    repeated), used by TMQIr's revised naturalness term (`TMQI.py:232`).
+
+    x: (H, W) -> scalar.
+    """
+    r = size // 2
+    xp = jnp.pad(x, ((r, r), (r, r)), mode="symmetric")[None, ..., None]
+    k = jnp.asarray(box_kernel_1d(size), dtype=x.dtype)
+    mu = window_mean(xp, k)
+    var = window_mean(xp * xp, k) - mu * mu
+    return jnp.mean(jnp.sqrt(jnp.maximum(var, 0.0)))
+
+
 def block_std_mean(x: jnp.ndarray, block: int = 11) -> jnp.ndarray:
     """Mean of per-block (block x block, non-overlapping) std deviations.
 
