@@ -29,11 +29,34 @@ from uncltmo_tpu.utils.io import (HDR_EXTENSIONS, read_hdr_image,
 
 
 def cmd_tmqi(args):
+    if getattr(args, "hdr_file", ""):
+        if not args.ldr_file:
+            sys.exit("--hdr_file needs --ldr_file")
+        return _tmqi_pair(args)
+    if not (args.hdr_dir and args.ldr_dir):
+        sys.exit("need --hdr_dir + --ldr_dir (or --hdr_file + --ldr_file)")
     if getattr(args, "per_scene", 0):
         return _tmqi_scenes(args)
     _tmqi_dir(args.hdr_dir, args.ldr_dir, args.output,
               int(getattr(args, "max_frames", 0)),
               revised=bool(getattr(args, "revised", 0)))
+
+
+def _tmqi_pair(args):
+    """Single HDR/LDR pair, the reference TMQI CLI's core usage
+    (`TMQI.py:260-456`: two positional files -> Q, S, N, s_local)."""
+    from uncltmo_tpu.metrics.tmqi import tmqi
+    hdr = read_hdr_image(args.hdr_file)
+    ldr = read_ldr_image(args.ldr_file) * 255.0
+    if hdr.shape[:2] != ldr.shape[:2]:
+        import cv2
+        hdr = cv2.resize(hdr, (ldr.shape[1], ldr.shape[0]))
+    q, s, n, s_local, _ = tmqi(hdr, ldr.astype(np.float32),
+                               revised=bool(getattr(args, "revised", 0)))
+    prec = int(getattr(args, "precision", 4))
+    print(f"Q: {round(q, prec)} S: {round(s, prec)} N: {round(n, prec)}")
+    print("s_local: " + " ".join(str(round(v, prec)) for v in s_local))
+    _save(args.output, {"Q": q, "S": s, "N": n, "s_local": s_local})
 
 
 def _tmqi_scenes(args):
@@ -145,8 +168,14 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     sub = p.add_subparsers(dest="cmd", required=True)
     t = sub.add_parser("tmqi")
-    t.add_argument("--hdr_dir", required=True)
-    t.add_argument("--ldr_dir", required=True)
+    t.add_argument("--hdr_dir", default="")
+    t.add_argument("--ldr_dir", default="")
+    t.add_argument("--hdr_file", default="",
+                   help="single-pair mode (reference TMQI.py CLI): score "
+                        "one HDR/LDR pair instead of directories")
+    t.add_argument("--ldr_file", default="")
+    t.add_argument("--precision", type=int, default=4,
+                   help="rounding of printed scores (TMQI.py --precision)")
     t.add_argument("--per_scene", type=int, default=0,
                    help="video layout: scene sub-dirs, first max_frames "
                         "frames each (TMQI_python/demo.py)")
