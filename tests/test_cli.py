@@ -1,0 +1,115 @@
+"""End-to-end smokes of the auxiliary CLIs on tiny synthetic data.
+
+The training/inference CLIs are exercised elsewhere (test_trainer,
+test_e2e_reference); these cover the offline tooling surfaces:
+png2video (`png2video.py:9-32`), prepare_lambdas
+(`data/lum_est_test_cor.py`, `run_hist_fit.sh`) and the metrics CLI's
+single-pair TMQI mode (`TMQI.py:260-456`).
+"""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "cli"))
+
+
+def _write_pngs(d, n=3, h=48, w=64, seed=0):
+    import cv2
+    rng = np.random.default_rng(seed)
+    os.makedirs(d, exist_ok=True)
+    for i in range(n):
+        im = (rng.random((h, w, 3)) * 255).astype(np.uint8)
+        cv2.imwrite(os.path.join(d, f"frame_{i:03d}.png"), im)
+
+
+def test_png2video_assembles_and_equalizes(tmp_path):
+    import cv2
+    import png2video
+    frames = tmp_path / "frames"
+    _write_pngs(str(frames))
+    out = str(tmp_path / "clip.avi")
+    png2video.main(["--input_dir", str(frames), "--output", out,
+                    "--width", "128", "--height", "96"])
+    cap = cv2.VideoCapture(out)
+    assert cap.isOpened()
+    n = 0
+    means = []
+    while True:
+        ok, fr = cap.read()
+        if not ok:
+            break
+        n += 1
+        means.append(fr.astype(np.float64).mean())
+    cap.release()
+    assert n == 3
+    # exposure equalization: later frames' means pulled to the first's
+    # (MJPG quantization keeps this loose but far tighter than raw noise)
+    assert abs(means[1] - means[0]) < 6.0
+    assert abs(means[2] - means[0]) < 6.0
+
+
+def test_png2video_empty_dir_errors(tmp_path):
+    import png2video
+    with pytest.raises(SystemExit, match="no PNG frames"):
+        png2video.main(["--input_dir", str(tmp_path)])
+
+
+def test_prepare_lambdas_hist_then_fit(tmp_path):
+    """mean_hist -> lambdas pipeline on synthetic data; the dict npy has
+    the reference's {name: lambda} format and is resume-idempotent."""
+    import prepare_lambdas
+    ldr_dir = tmp_path / "ldr"
+    _write_pngs(str(ldr_dir), n=4)
+    hist_path = str(tmp_path / "mean_hist.npy")
+    prepare_lambdas.main(["--mode", "mean_hist", "--input_dir",
+                          str(ldr_dir), "--output", hist_path])
+    mean = np.load(hist_path, allow_pickle=True)[()]
+    assert mean["mean_vals"].shape == (20,)
+    assert mean["all_bins"].shape == (21,)
+    assert np.isfinite(mean["mean_vals"]).all()
+
+    hdr_dir = tmp_path / "hdr"
+    os.makedirs(hdr_dir)
+    rng = np.random.default_rng(1)
+    for i in range(2):
+        np.save(os.path.join(hdr_dir, f"im{i}.npy"),
+                (rng.random((40, 56, 3)).astype(np.float32) ** 2) * 500)
+    dict_path = str(tmp_path / "lambdas.npy")
+    args = ["--mode", "lambdas", "--input_dir", str(hdr_dir),
+            "--output", dict_path, "--mean_hist_path", hist_path]
+    prepare_lambdas.main(args)
+    d = np.load(dict_path, allow_pickle=True)[()]
+    assert set(d) == {"im0", "im1"}
+    assert all(v > 0 for v in d.values())
+    # resume path: re-running with a cached dict keeps entries stable
+    prepare_lambdas.main(args)
+    d2 = np.load(dict_path, allow_pickle=True)[()]
+    assert d2 == d
+
+
+def test_compute_metrics_tmqi_pair(tmp_path, capsys):
+    import imageio.v2 as imageio
+    import compute_metrics
+    rng = np.random.default_rng(2)
+    hdr = (rng.random((64, 80, 3)).astype(np.float32) ** 2) * 900
+    hdr_path = str(tmp_path / "im.npy")
+    np.save(hdr_path, hdr)
+    ldr = np.clip(np.log1p(hdr) / np.log1p(900.0) * 255
+                  + rng.normal(0, 6, hdr.shape), 0, 255).astype(np.uint8)
+    ldr_path = str(tmp_path / "im.png")
+    imageio.imwrite(ldr_path, ldr)
+    out = str(tmp_path / "scores.json")
+    compute_metrics.main(["tmqi", "--hdr_file", hdr_path,
+                          "--ldr_file", ldr_path, "--output", out])
+    printed = capsys.readouterr().out
+    assert printed.startswith("Q: ")
+    import json
+    scores = json.load(open(out))
+    assert 0.0 < scores["Q"] <= 1.0 and len(scores["s_local"]) == 5
+    # missing-arg guards
+    with pytest.raises(SystemExit):
+        compute_metrics.main(["tmqi", "--hdr_file", hdr_path])
+    with pytest.raises(SystemExit):
+        compute_metrics.main(["tmqi"])
