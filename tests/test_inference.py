@@ -248,11 +248,15 @@ def test_video_cli_scene_batch_matches_sequential(tmp_path, rng):
         shutil.copy(REF_SETTINGS, model_dir / "run_settings.npy")
 
     lams = {}
-    for scene in ("scene_a", "scene_b"):
+    # scene_c's different shape forces the batched path's non-matching
+    # lookahead (`pending`) branch: (a, b) share a conv batch, c runs solo
+    shapes = {"scene_a": (140, 220), "scene_b": (140, 220),
+              "scene_c": (120, 180)}
+    for scene, (h, w) in shapes.items():
         d = tmp_path / "scenes" / scene
         d.mkdir(parents=True)
         for i in range(2):
-            frame = (rng.random((140, 220, 3)).astype(np.float32) ** 2) * 700
+            frame = (rng.random((h, w, 3)).astype(np.float32) ** 2) * 700
             np.save(d / f"{i:03d}.npy", frame)
         lams[scene] = 40.0
     lam_path = tmp_path / "lambdas.npy"
@@ -269,7 +273,7 @@ def test_video_cli_scene_batch_matches_sequential(tmp_path, rng):
 
     seq = run(tmp_path / "out_seq", [])
     bat = run(tmp_path / "out_bat", ["--scene_batch", "2"])
-    assert set(seq) == set(bat) and len(seq) == 4
+    assert set(seq) == set(bat) and len(seq) == 6
     import cv2
     for k in seq:
         a = cv2.imdecode(np.frombuffer(seq[k], np.uint8), cv2.IMREAD_COLOR)

@@ -323,35 +323,59 @@ class InferenceRunner:
                                              output_images_path,
                                              f_factor_path)
             return outs
-        # Stream scenes: at most scene_batch + 1 scenes are resident at a
-        # time (the group being built plus one non-matching lookahead) —
-        # eagerly preloading a whole dataset of padded full-res frames
-        # would hold O(dataset) HBM instead of O(scene_batch).
-        pending = None                 # lookahead from the previous group
-        i = 0
-        while i < len(scene_jobs) or pending is not None:
-            if pending is not None:
-                group, pending = [pending], None
-            else:
-                group = [(self._load_scene(scene_jobs[i][0], f_factor_path),
-                          scene_jobs[i][1])]
-                i += 1
-            (_, _, g0, _, _), _ = group[0]
-            while len(group) < scene_batch and i < len(scene_jobs):
-                cand = (self._load_scene(scene_jobs[i][0], f_factor_path),
-                        scene_jobs[i][1])
-                i += 1
-                if (len(cand[0][2]) == len(g0)
-                        and cand[0][2][0].shape == g0[0].shape):
-                    group.append(cand)
-                else:
-                    pending = cand
-                    break
-            stack = jnp.stack([jnp.stack(g) for (_, _, g, _, _), _ in group])
-            fakes = self.engine.run_videos(stack)
+        # Stream scenes with the stages pipelined like `run_on_path`: a
+        # loader thread decodes/preprocesses ahead, the main thread forms
+        # shape-compatible groups and dispatches the device, and a saver
+        # thread postprocesses/fetches/encodes the previous group while
+        # the next one computes.  Residency stays O(scene_batch): the
+        # loader holds at most scene_batch + 1 scenes ahead (group being
+        # built plus one non-matching lookahead) — eagerly preloading a
+        # whole dataset of padded full-res frames would hold O(dataset).
+        from concurrent.futures import ThreadPoolExecutor
+
+        from uncltmo_tpu.data.pipeline import device_prefetch
+
+        def _load(job):
+            im_paths, im_names = job
+            return self._load_scene(im_paths, f_factor_path), im_names
+
+        def _save_group(group, fakes):
+            saved = []
             for s, ((scene, rgbs, _, dy, dx), im_names) in enumerate(group):
-                outs += self._save_scene(scene, rgbs, fakes[s], dy, dx,
-                                         im_names, output_images_path,
-                                         "_UnCLTMO")
-            del group, stack, fakes
+                saved += self._save_scene(scene, rgbs, fakes[s], dy, dx,
+                                          im_names, output_images_path,
+                                          "_UnCLTMO")
+            return saved
+
+        loaded = device_prefetch(iter(scene_jobs), _load,
+                                 depth=scene_batch + 1)
+        pending = None                 # lookahead from the previous group
+        futures = []
+        with ThreadPoolExecutor(max_workers=1) as saver:
+            while True:
+                if pending is not None:
+                    group, pending = [pending], None
+                else:
+                    head = next(loaded, None)
+                    if head is None:
+                        break
+                    group = [head]
+                (_, _, g0, _, _), _ = group[0]
+                while len(group) < scene_batch:
+                    cand = next(loaded, None)
+                    if cand is None:
+                        break
+                    if (len(cand[0][2]) == len(g0)
+                            and cand[0][2][0].shape == g0[0].shape):
+                        group.append(cand)
+                    else:
+                        pending = cand
+                        break
+                stack = jnp.stack([jnp.stack(g)
+                                   for (_, _, g, _, _), _ in group])
+                fakes = self.engine.run_videos(stack)
+                futures.append(saver.submit(_save_group, group, fakes))
+                del group, stack, fakes
+            for f in futures:
+                outs += f.result()
         return outs
