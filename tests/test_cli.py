@@ -6,13 +6,30 @@ png2video (`png2video.py:9-32`), prepare_lambdas
 (`data/lum_est_test_cor.py`, `run_hist_fit.sh`) and the metrics CLI's
 single-pair TMQI mode (`TMQI.py:260-456`).
 """
+import importlib.util
 import os
 import sys
 
 import numpy as np
 import pytest
 
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "cli"))
+_CLI_DIR = os.path.join(os.path.dirname(__file__), "..", "cli")
+
+
+def _import_cli(name):
+    """Import cli/<name>.py by explicit file path.
+
+    A bare `import png2video` is unsafe here: reference_shim inserts
+    /root/reference at sys.path[0] during collection, and the reference's
+    same-named `png2video.py` runs a script at import time (IndexError on
+    an empty glob + a stray video_results/ dir in cwd).
+    """
+    spec = importlib.util.spec_from_file_location(
+        f"uncltmo_cli_{name}", os.path.join(_CLI_DIR, name + ".py"))
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[spec.name] = mod
+    spec.loader.exec_module(mod)
+    return mod
 
 
 def _write_pngs(d, n=3, h=48, w=64, seed=0):
@@ -26,7 +43,7 @@ def _write_pngs(d, n=3, h=48, w=64, seed=0):
 
 def test_png2video_assembles_and_equalizes(tmp_path):
     import cv2
-    import png2video
+    png2video = _import_cli("png2video")
     frames = tmp_path / "frames"
     _write_pngs(str(frames))
     out = str(tmp_path / "clip.avi")
@@ -51,7 +68,7 @@ def test_png2video_assembles_and_equalizes(tmp_path):
 
 
 def test_png2video_empty_dir_errors(tmp_path):
-    import png2video
+    png2video = _import_cli("png2video")
     with pytest.raises(SystemExit, match="no PNG frames"):
         png2video.main(["--input_dir", str(tmp_path)])
 
@@ -59,7 +76,7 @@ def test_png2video_empty_dir_errors(tmp_path):
 def test_prepare_lambdas_hist_then_fit(tmp_path):
     """mean_hist -> lambdas pipeline on synthetic data; the dict npy has
     the reference's {name: lambda} format and is resume-idempotent."""
-    import prepare_lambdas
+    prepare_lambdas = _import_cli("prepare_lambdas")
     ldr_dir = tmp_path / "ldr"
     _write_pngs(str(ldr_dir), n=4)
     hist_path = str(tmp_path / "mean_hist.npy")
@@ -91,7 +108,7 @@ def test_prepare_lambdas_hist_then_fit(tmp_path):
 
 def test_compute_metrics_tmqi_pair(tmp_path, capsys):
     import imageio.v2 as imageio
-    import compute_metrics
+    compute_metrics = _import_cli("compute_metrics")
     rng = np.random.default_rng(2)
     hdr = (rng.random((64, 80, 3)).astype(np.float32) ** 2) * 900
     hdr_path = str(tmp_path / "im.npy")

@@ -419,3 +419,53 @@ def test_run_on_path_pipelined_matches_sequential(tmp_path, rng):
     for a, b in zip(outs_seq, outs_pipe):
         assert os.path.basename(a) == os.path.basename(b)
         np.testing.assert_array_equal(read_ldr_image(a), read_ldr_image(b))
+
+
+def test_whole_image_tiny_input_and_add_frame_video_rejection(tmp_path, rng):
+    """Two guards on the add_frame/whole-image surface:
+
+    1. a tiny input (bottleneck grid smaller than the GCN's k=9 nodes)
+       must run, not crash top_k — dense_knn clamps k to the node count;
+    2. add_frame checkpoints must be rejected by EVERY tiled video entry
+       (`run_video_scene`, `run_on_video_path`), not only the
+       constructor's video=True check.
+    """
+    import shutil
+    import jax
+    from uncltmo_tpu.config import get_model_params
+    from uncltmo_tpu.inference.runner import InferenceRunner
+    from uncltmo_tpu.models.unet import UNetTMO
+    from uncltmo_tpu.utils.checkpoint import save_params
+    from uncltmo_tpu.utils.io import read_ldr_image
+
+    model_dir = tmp_path / "model"
+    model_dir.mkdir()
+    model = UNetTMO()
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                    jnp.zeros((1, 256, 256, 1)))
+    net = str(model_dir / "trained_weights.msgpack")
+    save_params(net, {"params_G": variables["params"]})
+    shutil.copy(REF_SETTINGS, model_dir / "run_settings.npy")
+
+    tiny = tmp_path / "tiny.npy"
+    np.save(tiny, (rng.random((24, 20, 3)).astype(np.float32) ** 2) * 900)
+    lam = tmp_path / "lams.npy"
+    np.save(lam, {"tiny": 300.0})
+
+    # pads 24x20 -> 32x32 -> 2x2 bottleneck (4 nodes < k=9)
+    mp = get_model_params("m", str(model_dir / "run_settings.npy"))
+    runner = InferenceRunner(mp, net, whole_image=True)
+    out = runner.run_single_image(str(tiny), "tiny",
+                                  str(tmp_path / "out_tiny"), str(lam),
+                                  scale=1)
+    im = read_ldr_image(out)
+    assert im.shape == (24, 20, 3)
+    assert np.isfinite(im.astype(np.float64)).all()
+
+    runner_af = InferenceRunner(dict(mp, add_frame=1), net)
+    with pytest.raises(ValueError, match="video path"):
+        runner_af.run_video_scene([str(tiny)], ["tiny"],
+                                  str(tmp_path / "v"), str(lam))
+    with pytest.raises(ValueError, match="video path"):
+        runner_af.run_on_video_path(str(tmp_path), str(tmp_path / "v"),
+                                    str(lam), scene_batch=2)

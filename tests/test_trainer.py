@@ -415,3 +415,39 @@ def test_async_saver_matches_sync_and_propagates_errors(tmp_path):
         saver.wait()
     # ...and a reaped failure must not re-raise forever
     saver.wait()
+
+
+def test_checkpoint_writes_are_atomic(tmp_path, monkeypatch):
+    """A kill mid-write must never leave a truncated newest .msgpack for
+    latest_checkpoint() to resume from: checkpoints are written to a .tmp
+    name and renamed into place."""
+    import jax.numpy as jnp
+    import optax
+    from flax.training.train_state import TrainState
+    from uncltmo_tpu.utils import checkpoint as ckpt
+
+    state = TrainState.create(
+        apply_fn=None, params={"w": jnp.arange(6.0)},
+        tx=optax.sgd(0.1)).replace(step=3)
+    models = tmp_path / "models"
+    good = ckpt.save_train_state(str(models), 1, 4, state)
+    # no temp litter after a successful save
+    assert not [f for f in os.listdir(models) if f.endswith(".tmp")]
+
+    # simulate a crash mid-write of a NEWER checkpoint: the rename never
+    # happens, so only the .tmp exists
+    real_replace = os.replace
+
+    def crash(src, dst):
+        raise KeyboardInterrupt("killed mid-checkpoint")
+
+    monkeypatch.setattr(os, "replace", crash)
+    with pytest.raises(KeyboardInterrupt):
+        ckpt.save_train_state(str(models), 2, 8, state)
+    monkeypatch.setattr(os, "replace", real_replace)
+
+    # the interrupted save left no parseable newer checkpoint; resume
+    # still selects the last complete one and it loads cleanly
+    assert ckpt.latest_checkpoint(str(models)) == good
+    restored, meta = ckpt.load_train_state(good, state)
+    assert int(restored.step) == 3 and meta["epoch"] == 1

@@ -192,25 +192,6 @@ class InferenceRunner:
         return save_uint8_png(np.asarray(out01), output_path,
                               im_name + suffix)
 
-    def run_single_image_whole(self, im_path: str, im_name: str,
-                               output_path: str, f_factor_path: str,
-                               scale: int = 1,
-                               suffix: str = "_UnCLTMO") -> str:
-        """Non-tiled inference, `run_model_on_single_image` equivalent
-        (`model_save_util.py:266-291`): one whole-image forward (the GCN
-        bottleneck adapts to the padded size — see GCNBlock), then the
-        reference's resize-out-the-pad postprocess.
-
-        add_frame=1 models run with the model-level output crop
-        (apply_crop, `Unet_singleFrame.py:210-211`); the color/postprocess
-        then uses the matching CROPPED rgb frame.  (The reference crashes
-        here — its padded rgb no longer matches the cropped fake — so this
-        is the consistent completion of its protocol, not a translation.)
-        """
-        assert self.whole_image
-        return self.run_single_image(im_path, im_name, output_path,
-                                     f_factor_path, scale, suffix)
-
     def run_on_path(self, input_images_path: str, output_images_path: str,
                     f_factor_path: str, scale: int = 4,
                     pipeline_io: bool = True) -> List[str]:
@@ -251,14 +232,20 @@ class InferenceRunner:
                 np.asarray(out01), output_images_path,
                 os.path.splitext(img_name)[0] + "_UnCLTMO")
 
-        futures = []
+        outs, futures = [], []
         with ThreadPoolExecutor(max_workers=1) as saver:
             for img_name, (rgb_p, gray_p, dy, dx) in device_prefetch(
                     iter(names), _load, depth=2):
                 print(f"processing [{img_name}]")
                 out01 = self._tonemap_loaded(rgb_p, gray_p, dy, dx)
                 futures.append(saver.submit(_save, img_name, out01))
-            return [f.result() for f in futures]
+                # backpressure: an unbounded backlog would pin every
+                # pending image's device arrays, defeating the bounded
+                # loader depth — block once the saver falls 2 behind
+                while len(futures) > 2:
+                    outs.append(futures.pop(0).result())
+            outs += [f.result() for f in futures]
+        return outs
 
     # ------------------------------------------------------------------
     def _load_scene(self, im_paths: List[str], f_factor_path: str):
@@ -293,6 +280,12 @@ class InferenceRunner:
         """`run_model_on_video` equivalent (`model_save_util.py:567-614`):
         per-scene lambda (directory name), stacked frames through the 5-D
         tiler with temporal recurrence, per-frame postprocess."""
+        if self.add_frame:
+            # same rejection as the constructor's video=True check: the
+            # tiled video path has no consistent add_frame protocol
+            raise ValueError(
+                "add_frame=1 checkpoints have no consistent video path "
+                "(per-tile crop breaks the stitch, `model_save_util.py:427`)")
         scene, rgbs, grays, dy, dx = self._load_scene(im_paths,
                                                       f_factor_path)
         fakes = self.engine.run_video(jnp.stack(grays))
@@ -307,6 +300,10 @@ class InferenceRunner:
         (frames, H, W) share one conv batch via `TileEngine.run_videos`
         (the recurrence caps the per-frame batch at one scene's tiles, so
         a second scene roughly doubles MXU occupancy at 1080p)."""
+        if self.add_frame:
+            raise ValueError(
+                "add_frame=1 checkpoints have no consistent video path "
+                "(per-tile crop breaks the stitch, `model_save_util.py:427`)")
         scene_jobs = []
         for scene in sorted(os.listdir(input_images_path)):
             scene_dir = os.path.join(input_images_path, scene)
@@ -376,6 +373,11 @@ class InferenceRunner:
                 fakes = self.engine.run_videos(stack)
                 futures.append(saver.submit(_save_group, group, fakes))
                 del group, stack, fakes
+                # backpressure: each pending group pins its full-res rgbs
+                # + fakes; keep the backlog bounded so residency stays the
+                # documented O(scene_batch)
+                while len(futures) > 2:
+                    outs += futures.pop(0).result()
             for f in futures:
                 outs += f.result()
         return outs

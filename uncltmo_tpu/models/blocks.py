@@ -202,6 +202,23 @@ def max_pool_2(x: jnp.ndarray) -> jnp.ndarray:
     return nn.max_pool(x, (2, 2), strides=(2, 2), padding="VALID")
 
 
+def _pad_or_crop(x1: jnp.ndarray, diffY: int, diffX: int,
+                 padding_mode: str) -> jnp.ndarray:
+    """torch F.pad semantics on (B, H, W, C): positive amounts pad with
+    `padding_mode`, negative amounts CROP (torch removes elements for
+    negative pads; jnp.pad rejects them)."""
+    lo_y, hi_y = diffY // 2, diffY - diffY // 2
+    lo_x, hi_x = diffX // 2, diffX - diffX // 2
+    h, w = x1.shape[1], x1.shape[2]
+    x1 = x1[:, max(0, -lo_y):h - max(0, -hi_y),
+            max(0, -lo_x):w - max(0, -hi_x)]
+    pads = ((0, 0), (max(0, lo_y), max(0, hi_y)),
+            (max(0, lo_x), max(0, hi_x)), (0, 0))
+    if any(p for pair in pads for p in pair):
+        x1 = jnp.pad(x1, pads, mode=padding_mode)
+    return x1
+
+
 def _sqrt_eps(x: jnp.ndarray, eps: float) -> jnp.ndarray:
     """sqrt(x + eps), == the reference's pow(x2 + eps, 0.5) on the positive
     domain (`unet_parts.py:317` etc.), but lowered as a real sqrt instead of
@@ -280,12 +297,11 @@ class Up(nn.Module):
         diffX = x2.shape[2] - x1.shape[2]
         if diffY or diffX:
             # torch F.pad with the model's padding_mode ('replicate' in the
-            # published config); reference `unet_parts.py:297-298`.
-            x1 = jnp.pad(
-                x1,
-                ((0, 0), (diffY // 2, diffY - diffY // 2),
-                 (diffX // 2, diffX - diffX // 2), (0, 0)),
-                mode=self.padding_mode)
+            # published config); reference `unet_parts.py:297-298`.  torch
+            # F.pad CROPS on negative amounts — at odd whole-image sizes
+            # the upsample can overshoot the skip and the reference relies
+            # on that crop, so mirror both signs exactly.
+            x1 = _pad_or_crop(x1, diffY, diffX, self.padding_mode)
         x = concat_skip(x2, x1, self.con_operator, d_weight_mul)
         if self.double_conv_transpose:
             x = DoubleConvT(self.out_ch, self.unet_norm, self.activation,

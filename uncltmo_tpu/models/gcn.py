@@ -77,7 +77,9 @@ def dense_knn(nodes: jnp.ndarray, k: int, rel_pos: jnp.ndarray) -> jnp.ndarray:
                                   precision=jax.lax.Precision.HIGHEST)
             + jnp.swapaxes(sq, 1, 2))
     dist = dist + rel_pos[None]
-    _, idx = jax.lax.top_k(-dist, k)
+    # whole-image mode can reach bottlenecks smaller than k+1 nodes
+    # (e.g. a 32px input -> 2x2 grid); clamp instead of crashing top_k
+    _, idx = jax.lax.top_k(-dist, min(k, dist.shape[-1]))
     return idx
 
 

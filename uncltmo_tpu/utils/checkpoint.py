@@ -34,15 +34,24 @@ def save_train_state(models_dir: str, epoch: int, epoch_iter: int,
     os.makedirs(models_dir, exist_ok=True)
     path = os.path.join(models_dir, checkpoint_name(epoch, epoch_iter))
     state_host = jax.device_get(state)
-    with open(path, "wb") as f:
-        f.write(flax.serialization.to_bytes(state_host))
+    # tmp + rename: a kill mid-write (likelier now that AsyncSaver keeps
+    # the write window open while training races ahead) must never leave
+    # a truncated newest .msgpack for latest_checkpoint() to pick up
+    _atomic_write(path, flax.serialization.to_bytes(state_host))
     meta = {"epoch": epoch, "epoch_iter": epoch_iter,
             "step": int(state_host.step)}
     if extra_meta:
         meta.update(extra_meta)
-    with open(path + ".meta.json", "w") as f:
-        json.dump(meta, f)
+    _atomic_write(path + ".meta.json",
+                  json.dumps(meta).encode("utf-8"))
     return path
+
+
+def _atomic_write(path: str, data: bytes) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, path)
 
 
 class AsyncSaver:
@@ -142,8 +151,7 @@ def latest_checkpoint(models_dir: str) -> Optional[str]:
 
 def save_params(path: str, params: Any) -> None:
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    with open(path, "wb") as f:
-        f.write(flax.serialization.to_bytes(jax.device_get(params)))
+    _atomic_write(path, flax.serialization.to_bytes(jax.device_get(params)))
 
 
 def load_params(path: str, template: Any = None) -> Any:
