@@ -310,6 +310,11 @@ def test_run_images_cache_keys_on_post_name():
                        post_name="double")
     assert len(eng._image_fns) == n_fns  # no recompile, no cache growth
     np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    # reusing a name with a DIFFERENT function must raise, not silently
+    # return the first function's compiled results
+    with pytest.raises(ValueError, match="post_name"):
+        eng.run_images(frames, post_fn=lambda x: x + 1.0,
+                       post_name="double")
 
 
 def test_whole_image_inference_paths(tmp_path, rng):

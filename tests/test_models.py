@@ -191,3 +191,51 @@ def test_bottleneck_grid_formula():
     assert bottleneck_grid(112) == 3    # dryrun_multichip size
     with pytest.raises(ValueError):
         bottleneck_grid(48)
+
+
+def test_rectangular_rel_pos_bias_layout():
+    """Whole-image bottlenecks can be rectangular; the KNN bias must be
+    generated for the ACTUAL (h, w) layout.  A 9x16 grid has 144 nodes —
+    a node-count gate would hand it the 12x12-layout bias, whose spatial
+    neighborhoods are wrong (row stride 12 vs 16)."""
+    from uncltmo_tpu.models.gcn import relative_pos_bias
+
+    rect = relative_pos_bias(256, (9, 16))
+    square = relative_pos_bias(256, 12)
+    assert rect.shape == square.shape == (144, 144)
+    assert not np.allclose(rect, square)
+
+    # bias is -similarity: node 0's most-similar non-self nodes must be
+    # its true grid neighbors (right = 1, down = 16) in the 9x16 layout,
+    # not the 12x12 layout's down = 12
+    order = np.argsort(rect[0])
+    top = [i for i in order if i != 0][:2]
+    assert set(top) == {1, 16}, top
+    order_sq = np.argsort(square[0])
+    top_sq = [i for i in order_sq if i != 0][:2]
+    assert set(top_sq) == {1, 12}, top_sq
+
+    # symmetric, zero self-distance-bias maximal similarity on diagonal
+    np.testing.assert_allclose(rect, rect.T, atol=1e-6)
+    assert (np.diag(rect) <= rect.min(axis=1) + 1e-6).all()
+
+
+def test_grapher_ffn_rectangular_bottleneck_runs():
+    """GrapherFFN on a non-square bottleneck with exactly grid^2 nodes
+    (the aliasing case) runs and differs from flattening the same nodes
+    through the square-grid layout."""
+    import jax
+    from uncltmo_tpu.models.gcn import GrapherFFN
+
+    mod = GrapherFFN(32, k=5, grid=4)
+    rng = np.random.default_rng(0)
+    x_sq = jnp.asarray(rng.random((1, 4, 4, 32), np.float32))
+    v = jax.jit(mod.init)(jax.random.PRNGKey(0), x_sq)
+    # 2x8 = 16 nodes = grid^2: same node values, different layout
+    x_rect = x_sq.reshape(1, 2, 8, 32)
+    out_sq = mod.apply(v, x_sq)
+    out_rect = mod.apply(v, x_rect)
+    assert out_rect.shape == (1, 2, 8, 32)
+    assert np.isfinite(np.asarray(out_rect)).all()
+    assert not np.allclose(np.asarray(out_rect).reshape(1, 16, 32),
+                           np.asarray(out_sq).reshape(1, 16, 32))

@@ -116,6 +116,7 @@ class TileEngine:
         self.mesh = mesh
         self._image_fns: Dict[Tuple[int, int], callable] = {}
         self._video_fns: Dict[Tuple[int, int, int], callable] = {}
+        self._post_fn_by_name: Dict[str, callable] = {}
 
     def update_variables(self, variables) -> None:
         """Swap the model params, preserving the engine's dtype invariant
@@ -224,15 +225,35 @@ class TileEngine:
         keys on `post_name` when given, else on `post_fn` object identity —
         a caller passing a FRESH closure per call must pass `post_name` or
         every call recompiles and the cache grows unboundedly.  CONTRACT:
-        `post_name` asserts semantic identity — reusing a name with a
-        *different* function silently returns results compiled from the
-        first one (names are compile-cache keys, not labels).
+        `post_name` asserts semantic identity (names are compile-cache
+        keys, not labels); reusing a name with a *different function* (a
+        different code object) raises instead of silently returning the
+        first function's results.  Same-source fresh closures are fine —
+        but their captured values are not compared, so don't close over
+        varying state under one name.
         """
         f, h, w = (int(frames_fhw1.shape[0]), int(frames_fhw1.shape[1]),
                    int(frames_fhw1.shape[2]))
         g = frames_per_step
         assert f % g == 0, (f, g)
         key = (f, h, w, post_name if post_name is not None else post_fn, g)
+        if post_name is not None and post_fn is not None:
+            prev = self._post_fn_by_name.setdefault(post_name, post_fn)
+
+            def _body(fn):
+                # code-object equality minus co_firstlineno: textually
+                # identical closures from different lines are the same
+                # function for caching purposes
+                c = getattr(fn, "__code__", None)
+                return ((c.co_code, c.co_consts, c.co_names)
+                        if c is not None else fn)
+
+            if prev is not post_fn and _body(prev) != _body(post_fn):
+                raise ValueError(
+                    f"post_name {post_name!r} was first used with a "
+                    "different post_fn; names key the compile cache, so "
+                    "a hit would silently return the first function's "
+                    "results — use a distinct name per distinct function")
         if key not in self._image_fns:
             core = self._images_core(h, w, g)
 

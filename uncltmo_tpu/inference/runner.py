@@ -90,6 +90,41 @@ def _enable_compile_cache() -> None:
         pass  # cache is an optimization, never a requirement
 
 
+class _BoundedSaver:
+    """Single-worker background saver with a bounded backlog.
+
+    Device fetches (np.asarray) + PNG encodes run on one thread behind the
+    device; `submit` blocks (draining the oldest job) once more than
+    `backlog` jobs are pending, so the device arrays pinned by pending
+    results stay O(backlog) instead of O(dataset).  `finish` drains the
+    queue and returns every job's result in submission order.
+    """
+
+    def __init__(self, backlog: int = 2):
+        from concurrent.futures import ThreadPoolExecutor
+        self._pool = ThreadPoolExecutor(max_workers=1)
+        self._backlog = backlog
+        self._futures: list = []
+        self._results: list = []
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self._pool.shutdown(wait=True)
+        return False
+
+    def submit(self, fn, *args) -> None:
+        self._futures.append(self._pool.submit(fn, *args))
+        while len(self._futures) > self._backlog:
+            self._results.append(self._futures.pop(0).result())
+
+    def finish(self) -> list:
+        self._results += [f.result() for f in self._futures]
+        self._futures = []
+        return list(self._results)
+
+
 class InferenceRunner:
     """Loads a generator once and tone-maps images / video scenes."""
 
@@ -170,8 +205,13 @@ class InferenceRunner:
         forward with the GCN tables interpolated to the bottleneck size."""
         if self.whole_image:
             x = gray_p[None].astype(self.engine.dtype)
+            # diffY/diffX are static jit args but only consumed when
+            # apply_crop (= add_frame); pin them to 0 otherwise so images
+            # with equal padded shape but different pad splits share one
+            # compiled program instead of retracing per (dy, dx)
+            cy, cx = (dy, dx) if self.add_frame else (0, 0)
             fake = self._whole_fwd(self.engine.variables, x,
-                                   self.add_frame, dy, dx)[0]
+                                   self.add_frame, cy, cx)[0]
             fake = fake.astype(jnp.float32)
             if self.add_frame:
                 rgb = preprocess.crop_frame(rgb_p, dy, dx)
@@ -216,8 +256,6 @@ class InferenceRunner:
                     f_factor_path, scale))
             return outs
 
-        from concurrent.futures import ThreadPoolExecutor
-
         from uncltmo_tpu.data.pipeline import device_prefetch
 
         def _load(img_name):
@@ -232,20 +270,13 @@ class InferenceRunner:
                 np.asarray(out01), output_images_path,
                 os.path.splitext(img_name)[0] + "_UnCLTMO")
 
-        outs, futures = [], []
-        with ThreadPoolExecutor(max_workers=1) as saver:
+        with _BoundedSaver() as saver:
             for img_name, (rgb_p, gray_p, dy, dx) in device_prefetch(
                     iter(names), _load, depth=2):
                 print(f"processing [{img_name}]")
                 out01 = self._tonemap_loaded(rgb_p, gray_p, dy, dx)
-                futures.append(saver.submit(_save, img_name, out01))
-                # backpressure: an unbounded backlog would pin every
-                # pending image's device arrays, defeating the bounded
-                # loader depth — block once the saver falls 2 behind
-                while len(futures) > 2:
-                    outs.append(futures.pop(0).result())
-            outs += [f.result() for f in futures]
-        return outs
+                saver.submit(_save, img_name, out01)
+            return saver.finish()
 
     # ------------------------------------------------------------------
     def _load_scene(self, im_paths: List[str], f_factor_path: str):
@@ -328,8 +359,6 @@ class InferenceRunner:
         # loader holds at most scene_batch + 1 scenes ahead (group being
         # built plus one non-matching lookahead) — eagerly preloading a
         # whole dataset of padded full-res frames would hold O(dataset).
-        from concurrent.futures import ThreadPoolExecutor
-
         from uncltmo_tpu.data.pipeline import device_prefetch
 
         def _load(job):
@@ -347,8 +376,9 @@ class InferenceRunner:
         loaded = device_prefetch(iter(scene_jobs), _load,
                                  depth=scene_batch + 1)
         pending = None                 # lookahead from the previous group
-        futures = []
-        with ThreadPoolExecutor(max_workers=1) as saver:
+        # each pending group pins its full-res rgbs + fakes; the bounded
+        # saver keeps residency at the documented O(scene_batch)
+        with _BoundedSaver() as saver:
             while True:
                 if pending is not None:
                     group, pending = [pending], None
@@ -371,13 +401,8 @@ class InferenceRunner:
                 stack = jnp.stack([jnp.stack(g)
                                    for (_, _, g, _, _), _ in group])
                 fakes = self.engine.run_videos(stack)
-                futures.append(saver.submit(_save_group, group, fakes))
+                saver.submit(_save_group, group, fakes)
                 del group, stack, fakes
-                # backpressure: each pending group pins its full-res rgbs
-                # + fakes; keep the backlog bounded so residency stays the
-                # documented O(scene_batch)
-                while len(futures) > 2:
-                    outs += futures.pop(0).result()
-            for f in futures:
-                outs += f.result()
+            for saved in saver.finish():
+                outs += saved
         return outs

@@ -31,10 +31,14 @@ import numpy as np
 from uncltmo_tpu.models.blocks import xavier_gain2
 
 
-def sincos_pos_embed_2d(embed_dim: int, grid_size: int) -> np.ndarray:
-    """2-D sine-cosine positional embedding, (grid_size^2, embed_dim)
-    (reference `gcn_lib/pos_embed.py:38-85`)."""
+def sincos_pos_embed_2d(embed_dim: int, grid_size) -> np.ndarray:
+    """2-D sine-cosine positional embedding, (H*W, embed_dim)
+    (reference `gcn_lib/pos_embed.py:38-85`).  `grid_size` is an int
+    (square, the reference's only case) or an (H, W) pair — whole-image
+    bottlenecks are rectangular."""
     assert embed_dim % 4 == 0
+    gh_n, gw_n = ((grid_size, grid_size) if isinstance(grid_size, int)
+                  else grid_size)
 
     def emb_1d(dim, pos):
         omega = np.arange(dim // 2, dtype=np.float64) / (dim / 2.0)
@@ -42,8 +46,8 @@ def sincos_pos_embed_2d(embed_dim: int, grid_size: int) -> np.ndarray:
         out = np.einsum("m,d->md", pos.reshape(-1), omega)
         return np.concatenate([np.sin(out), np.cos(out)], axis=1)
 
-    grid_h = np.arange(grid_size, dtype=np.float32)
-    grid_w = np.arange(grid_size, dtype=np.float32)
+    grid_h = np.arange(gh_n, dtype=np.float32)
+    grid_w = np.arange(gw_n, dtype=np.float32)
     # meshgrid(w, h): grid[0] varies along w (fastest axis), grid[1] along h.
     gw, gh = np.meshgrid(grid_w, grid_h)
     emb_h = emb_1d(embed_dim // 2, gw)
@@ -51,9 +55,10 @@ def sincos_pos_embed_2d(embed_dim: int, grid_size: int) -> np.ndarray:
     return np.concatenate([emb_h, emb_w], axis=1)
 
 
-def relative_pos_bias(embed_dim: int, grid_size: int) -> np.ndarray:
+def relative_pos_bias(embed_dim: int, grid_size) -> np.ndarray:
     """-(2 * P P^T / dim): the additive KNN distance bias, (n, n)
-    (reference `gcn_lib/pos_embed.py:21-28` negated at `torch_vertex.py:227`)."""
+    (reference `gcn_lib/pos_embed.py:21-28` negated at `torch_vertex.py:227`).
+    `grid_size`: int or (H, W)."""
     p = sincos_pos_embed_2d(embed_dim, grid_size)
     rel = 2.0 * (p @ p.T) / p.shape[1]
     return (-rel).astype(np.float32)
@@ -135,15 +140,20 @@ class GrapherFFN(nn.Module):
     def __call__(self, x, *, deterministic: bool = True):
         b, h, w, c = x.shape
         n = h * w
-        rel_pos = jnp.asarray(relative_pos_bias(self.ch, self.grid))
-        if n != self.grid * self.grid:
-            # arbitrary bottleneck (whole-image inference): bicubic-resize
-            # the fixed grid^2 x grid^2 bias to N x N, exactly the
-            # reference Grapher's `_get_relative_pos`
-            # (`gcn_lib/torch_vertex.py:211-217`, F.interpolate bicubic)
-            from uncltmo_tpu.ops.resize import bicubic_resize
-            rel_pos = bicubic_resize(
-                rel_pos[None, :, :, None].astype(x.dtype), n, n)[0, :, :, 0]
+        if (h, w) == (self.grid, self.grid):
+            rel_pos = jnp.asarray(relative_pos_bias(self.ch, self.grid))
+        else:
+            # Arbitrary bottleneck (whole-image inference): the bias is
+            # deterministic sincos geometry, so REGENERATE it exactly for
+            # the actual (h, w) layout.  The reference Grapher instead
+            # bicubic-interpolates the stored n x n matrix
+            # (`gcn_lib/torch_vertex.py:211-217`) — row-major index
+            # interpolation that silently assumes a square layout (and a
+            # gate on N alone would hand a 9x16 = 144-node bottleneck the
+            # 12x12-layout bias verbatim).  Deviation documented; the
+            # tiled/published path is always exactly grid x grid.
+            rel_pos = jnp.asarray(
+                relative_pos_bias(self.ch, (h, w))).astype(x.dtype)
         nodes_in = x.reshape(b, n, c)
 
         # ---- Grapher_noBN (`gcn_lib/torch_vertex.py:181-227`)
