@@ -130,3 +130,49 @@ def test_compute_metrics_tmqi_pair(tmp_path, capsys):
         compute_metrics.main(["tmqi", "--hdr_file", hdr_path])
     with pytest.raises(SystemExit):
         compute_metrics.main(["tmqi"])
+
+
+def test_main_train_image_cli_end_to_end(tmp_path):
+    """The TRAINING CLI surface itself (`main_train_image.py` ->
+    config.get_opt -> GanTrainer.train): argv parsing, directory tree,
+    on-disk pools, run_settings snapshot, metrics + checkpoints.  The
+    trainer internals are covered in test_trainer; this pins the
+    argv-to-run plumbing the reference drives via run_imageTMO_train.sh."""
+    import json
+    rng = np.random.default_rng(3)
+    hdr = tmp_path / "hdr"; ldr = tmp_path / "ldr"; neg = tmp_path / "neg"
+    for d in (hdr, ldr, neg):
+        d.mkdir()
+    lams = {}
+    for i in range(2):
+        np.save(hdr / f"im{i}.npy",
+                (rng.random((128, 128, 3)) * 1000).astype(np.float32))
+        lams[f"im{i}"] = 40.0
+        np.save(ldr / f"ldr{i}.npy",
+                (rng.random((128, 128, 3)) * 255).astype(np.float32))
+        np.save(neg / f"neg{i}.npy",
+                (rng.random((128, 128, 3)) * 255).astype(np.float32))
+    np.save(tmp_path / "lams.npy", lams)
+    out = str(tmp_path / "run")
+
+    main_train_image = _import_cli("main_train_image")
+    main_train_image.main([
+        "--batch_size", "2", "--num_epochs", "1",
+        "--d_pretrain_epochs", "0", "--train_input_size", "112",
+        "--data_root_npy", str(hdr), "--data_root_ldr", str(ldr),
+        "--neg_ldr_root", str(neg),
+        "--f_train_dict_path", str(tmp_path / "lams.npy"),
+        "--result_dir_prefix", out,
+        "--test_dataroot_original_hdr", str(tmp_path / "no_such_dir"),
+        "--log_every", "1"])
+
+    # run snapshot in both formats (`config.py:122` npy + JSON twin)
+    assert os.path.exists(os.path.join(out, "run_settings.npy"))
+    snap = json.load(open(os.path.join(out, "run_settings.json")))
+    assert snap["batch_size"] == 2
+    recs = [json.loads(l) for l in
+            open(os.path.join(out, "train_metrics.jsonl"))]
+    assert any("errG_d" in r for r in recs)
+    ckpts = [f for f in os.listdir(os.path.join(out, "models"))
+             if f.endswith(".msgpack")]
+    assert ckpts
