@@ -436,3 +436,36 @@ def test_adaptive_avg_pool_rectangular_matches_torch(rng):
             torch.tensor(x.transpose(0, 3, 1, 2)), (8, 8))
         ref = ref.numpy().transpose(0, 2, 3, 1)
         np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_warp_error_crop_guards():
+    """crop=0 must compute over the full frame (not an empty [0:-0]
+    slice), and frames smaller than the crop must raise instead of
+    silently averaging an empty array to NaN."""
+    from uncltmo_tpu.metrics.warp_error import compute_warp_error
+    rng = np.random.default_rng(5)
+    f0 = rng.random((40, 50, 3)).astype(np.float32)
+    e1, e2 = compute_warp_error(f0, f0, crop=0, algo="hs_jax")
+    assert np.isfinite(e1) and np.isfinite(e2)
+    assert e1 < 1e-6  # identical frames, zero flow
+    with pytest.raises(ValueError, match="too small"):
+        compute_warp_error(f0, f0, crop=32, algo="hs_jax")
+
+
+def test_fid_empty_dir_raises(tmp_path):
+    from uncltmo_tpu.metrics.fid import path_statistics
+    d = tmp_path / "imgs"
+    d.mkdir()
+    (d / "notes.txt").write_text("not an image")
+    with pytest.raises(ValueError, match="no png/jpg/jpeg"):
+        path_statistics(str(d), extractor=lambda x: x, fake_side=False)
+
+
+def test_percentile_clamp_stretch_constant_frame():
+    """A constant generator output must stretch to zeros, not 0/0 NaN
+    (the reference writes a NaN image here, `model_save_util.py:394`)."""
+    import jax.numpy as jnp
+    from uncltmo_tpu.ops.color import percentile_clamp_stretch
+    out = np.asarray(percentile_clamp_stretch(jnp.full((64, 64), 0.5)))
+    assert np.isfinite(out).all()
+    np.testing.assert_allclose(out, 0.0)

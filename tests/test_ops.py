@@ -89,3 +89,20 @@ def test_back_to_color_shapes(rng):
     g = np.asarray(color.to_gray(hdr))
     ref = np.sqrt(np.asarray(hdr) / (g + 1e-8)) * np.asarray(luma)
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-5)
+
+
+def test_verify_lambda_dict_ignores_non_image_entries(tmp_path):
+    """A stray README or the lambda dict itself living in the input dir
+    must not permanently defeat the cache check (the reference's
+    any-entry scan re-enters the compute path forever)."""
+    from uncltmo_tpu.ops.lambda_est import verify_lambda_dict
+    d = tmp_path / "in"
+    d.mkdir()
+    np.save(d / "im0.npy", np.ones((8, 8, 3), np.float32))
+    (d / "README.txt").write_text("stray")
+    dict_path = str(tmp_path / "lams.npy")
+    np.save(dict_path, {"im0": 123.0})
+    assert verify_lambda_dict(dict_path, str(d), extensions=(".npy",))
+    # an actual uncached image still fails the check
+    np.save(d / "im1.npy", np.ones((8, 8, 3), np.float32))
+    assert not verify_lambda_dict(dict_path, str(d), extensions=(".npy",))

@@ -24,9 +24,12 @@ p-code (911 bytes — a wrapper; the real feature code was never shipped),
 so the mapping from pixels to the model's 11-D feature space is
 reconstructed from the paper here and does not match bit-for-bit.  The
 support vectors pin the feature layout partially (columns 0-4 and 5-8 are
-two decreasing families, column 9 lives in [0, 1] like the TMQI
-statistical naturalness, column 10 is a small positive dispersion term),
-which this extractor mirrors.
+two decreasing families — means 8.6→4.2 and 2.4→0.4 — column 9 lives in
+[0, 1] like the TMQI statistical naturalness, column 10 is a small
+positive dispersion term, ~0.02-0.17), and `btmqi_features` mirrors that
+layout: 5 virtual-exposure entropies, 4 dyadic-scale gradient energies,
+naturalness at column 9, dispersion at column 10, each scaled into its
+SV column's envelope.
 
 `btmqi(image)` returns the documented surrogate scalar (monotone feature
 combination, good for *relative* comparisons); `btmqi(image,
@@ -47,17 +50,21 @@ import numpy as np
 from uncltmo_tpu.metrics.tmqi import statistical_naturalness
 from uncltmo_tpu.ops.windows import window_var, fspecial_gauss_1d
 
-_EXPOSURES = (-3.0, -2.0, -1.0, 0.0, 1.0, 2.0, 3.0)
-_BINS = 256
+_EXPOSURES = (0.0, 1.0, 2.0, 3.0, 4.0)
+_N_SCALES = 4
+_BINS = 4096
 
 
 def _entropy(x01: jnp.ndarray) -> jnp.ndarray:
-    """Shannon entropy (bits) of an 8-bit-quantized [0,1] image.
+    """Shannon entropy (bits) of a finely quantized [0,1] image.
 
-    Histogram as a one-hot contraction, not a scatter-add: TPU scatters
-    serialize per index (minutes for a 128^2 image through the remote
-    runtime), while the (N, 256) one-hot reduce is a single dense VPU
-    pass."""
+    12-bit quantization after the Gaussian local-mean smoothing below: the
+    smoothed field is continuous-valued, so its entropy can exceed the
+    8 bits of the uint8 source — matching the SV column-0 envelope
+    (values up to ~11.4).  Histogram as a one-hot contraction, not a
+    scatter-add: TPU scatters serialize per index (minutes for a 128^2
+    image through the remote runtime), while the (N, bins) one-hot reduce
+    is a single dense VPU pass."""
     idx = jnp.clip((x01 * (_BINS - 1)).astype(jnp.int32), 0, _BINS - 1)
     hist = jax.nn.one_hot(idx.reshape(-1), _BINS,
                           dtype=jnp.float32).sum(axis=0)
@@ -66,25 +73,61 @@ def _entropy(x01: jnp.ndarray) -> jnp.ndarray:
                               0.0))
 
 
+def _half_pool(x: jnp.ndarray) -> jnp.ndarray:
+    """2x2 average pooling (dyadic scale step), truncating odd edges."""
+    h, w = x.shape[0] // 2 * 2, x.shape[1] // 2 * 2
+    x = x[:h, :w]
+    return 0.25 * (x[0::2, 0::2] + x[1::2, 0::2]
+                   + x[0::2, 1::2] + x[1::2, 1::2])
+
+
+def _grad_energy(x01: jnp.ndarray) -> jnp.ndarray:
+    """Local gradient energy = 11x11 Gaussian-window std, (H, W) map."""
+    gvar = window_var(x01[None, ..., None], fspecial_gauss_1d(11, 1.5))
+    return jnp.sqrt(jnp.maximum(gvar, 0.0))
+
+
 @jax.jit
 def btmqi_features(gray01: jnp.ndarray) -> jnp.ndarray:
-    """Feature vector for a grayscale tone-mapped image in [0, 1].
+    """11-D feature vector for a grayscale tone-mapped image in [0, 1],
+    laid out to mirror the model.mat support-vector columns (see the
+    module docstring):
 
-    Returns (len(_EXPOSURES) + 2 + 2,) = (11,):
-      [entropy at each virtual exposure..., naturalness N, mean brightness,
-       mean local gradient energy, std of local gradient energy]
+      [0:5]  information family: entropy (bits) of the Gaussian-smoothed
+             image under virtual gamma re-exposures I^(2^k), k = 0..4
+             (mass concentration under increasing gamma makes the family
+             gently decreasing, matching the SV column means 8.6 -> 4.2;
+             multiplicative exposures I*2^k were tried first but clip to
+             zero entropy by k=2 on mid-tone images — outside the SV
+             envelope);
+      [5:9]  structure family: mean local gradient energy at 4 dyadic
+             scales (x16 scaling into the SV envelope);
+      [9]    TMQI statistical naturalness, in [0, 1];
+      [10]   gradient-energy dispersion (std of the scale-0 energy map).
     """
+    mu = jnp.clip(_smoothed_mean(gray01, fspecial_gauss_1d(11, 1.5)),
+                  0.0, 1.0)
     feats = []
     for k in _EXPOSURES:
-        feats.append(_entropy(jnp.clip(gray01 * (2.0 ** k), 0.0, 1.0)))
-    n = statistical_naturalness(gray01 * 255.0)
-    feats.append(n)
-    feats.append(jnp.mean(gray01))
-    gvar = window_var(gray01[None, ..., None], fspecial_gauss_1d(11, 1.5))
-    genergy = jnp.sqrt(jnp.maximum(gvar, 0.0))
-    feats.append(jnp.mean(genergy))
-    feats.append(jnp.std(genergy))
+        feats.append(_entropy(mu ** (2.0 ** k)))
+    x = gray01
+    for _ in range(_N_SCALES):
+        feats.append(16.0 * jnp.mean(_grad_energy(x)))
+        x = _half_pool(x)
+    feats.append(statistical_naturalness(gray01 * 255.0))
+    feats.append(jnp.std(_grad_energy(gray01)))
     return jnp.stack(feats)
+
+
+def _smoothed_mean(x01: jnp.ndarray, kernel_1d) -> jnp.ndarray:
+    """Separable Gaussian local mean, same-size via edge padding."""
+    k = kernel_1d.shape[0]
+    pad = k // 2
+    xp = jnp.pad(x01, ((pad, pad), (pad, pad)), mode="edge")
+    xc = jax.vmap(lambda r: jnp.convolve(r, kernel_1d, mode="valid"))(xp)
+    xc = jax.vmap(lambda c: jnp.convolve(c, kernel_1d, mode="valid"),
+                  in_axes=1, out_axes=1)(xc)
+    return xc
 
 
 class SVRModel:
@@ -154,8 +197,7 @@ def btmqi(image: np.ndarray,
         model = (model_mat if isinstance(model_mat, SVRModel)
                  else load_svr_model(model_mat))
         return float(model.predict(f)), f
-    n_exp = len(_EXPOSURES)
-    # surrogate: mean re-exposure entropy (information, /8 to [0,1])
+    # surrogate: mean re-exposure entropy (information, /12 to ~[0,1])
     #          + naturalness + local-contrast energy (scaled)
-    score = float(f[:n_exp].mean() / 8.0 + f[n_exp] + 5.0 * f[n_exp + 2])
+    score = float(f[:5].mean() / 12.0 + f[9] + f[5] / 3.0)
     return score, f

@@ -92,6 +92,10 @@ def path_statistics(path: str, extractor: Callable, fake_side: bool,
                     ) -> Tuple[np.ndarray, np.ndarray]:
     files = sorted(f for f in os.listdir(path)
                    if f.lower().endswith((".png", ".jpg", ".jpeg")))
+    if not files:
+        raise ValueError(
+            f"no png/jpg/jpeg images found in {path!r} — cannot compute "
+            "FID statistics (check the directory path and file formats)")
     if shuffle_seed is not None and not small_dset:
         # the main protocol shuffles with Random(10) before the 900-image
         # cap (`fid_score.py:258-261`); small-dset takes files in order

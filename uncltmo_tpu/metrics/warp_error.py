@@ -33,6 +33,9 @@ except Exception:  # pragma: no cover
 
 
 def _to_uint8(img: np.ndarray) -> np.ndarray:
+    # the reference's exact range heuristic + conversion, including the
+    # unclipped truncation on the [0,255] branch
+    # (`compute_wrap_error.py:54-60`)
     if img.max() <= 1.0:
         img = (img * 255.0).clip(0, 255)
     return img.astype(np.uint8)
@@ -97,15 +100,24 @@ def compute_warp_error(frame0: np.ndarray, frame1: np.ndarray,
     reference does with its L1L0 outputs (`Tester.py:378-390`): pass those
     as flow_source0/1; defaults to the frames themselves.
     """
+    if crop > 0 and (frame0.shape[0] <= 2 * crop
+                     or frame0.shape[1] <= 2 * crop):
+        raise ValueError(
+            f"frames {frame0.shape[:2]} too small for the {crop}-px "
+            "center crop (the mean over an empty slice would be NaN)")
     src0 = _to_uint8(flow_source0 if flow_source0 is not None else frame0)
     src1 = _to_uint8(flow_source1 if flow_source1 is not None else frame1)
+    # flow is estimated on channel 0, exactly like the reference
+    # (`compute_wrap_error.py:62-63`: img_to_align[:, :, 0] — protocol
+    # fidelity over a luma conversion)
     flow = estimate_inv_flow(src0[..., 0] if src0.ndim == 3 else src0,
                              src1[..., 0] if src1.ndim == 3 else src1, algo)
     f1 = _to_uint8(frame1)
     warped = warp_with_flow(f1, flow).astype(np.float32) / 255.0
     target = _to_uint8(frame0).astype(np.float32) / 255.0
-    a = warped[crop:-crop, crop:-crop]
-    b = target[crop:-crop, crop:-crop]
+    sl = slice(crop, -crop) if crop > 0 else slice(None)
+    a = warped[sl, sl]
+    b = target[sl, sl]
     e1 = float(np.mean((a - b) ** 2))
     e2 = float(np.mean(np.abs(a - b) / (1e-8 + a + b)))
     return e1, e2

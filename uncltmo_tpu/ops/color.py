@@ -132,5 +132,11 @@ def percentile_clamp_stretch(fake: jnp.ndarray, lo: float = 0.5,
     fake2 = jnp.clip(fake, min_p, max_p)
     # fake2.min() == min_p and fake2.max() == max_p identically (the
     # interpolated percentile lies between order statistics, so at least one
-    # element clips to each bound) — reusing them saves two full HBM passes
-    return (fake2 - min_p) / (max_p - min_p)
+    # element clips to each bound) — reusing them saves two full HBM passes.
+    # The reference divides 0/0 on a constant frame (`model_save_util.py:394`,
+    # NaN image); select an epsilon denominator instead, output-identical
+    # everywhere else (same guard as to_01_outlier).
+    from uncltmo_tpu import params as P
+    denom = max_p - min_p
+    denom = jnp.where(denom == 0.0, denom + P.EPSILON, denom)
+    return (fake2 - min_p) / denom

@@ -76,7 +76,7 @@ def fit_lambda(gray_im: np.ndarray, targets: np.ndarray, bins: int = 20,
             np.power(10.0, np.linspace(log_lo, log_hi, grid)), jnp.float32)
         ces = np.asarray(_ce_for_lambdas(g, lambdas, t, bins))
         i = int(np.nanargmin(ces))
-        span = (log_hi - log_lo) / grid
+        # zoom window = the neighbouring grid points around the argmin
         log_lo = float(np.log10(lambdas[max(i - 1, 0)]))
         log_hi = float(np.log10(lambdas[min(i + 1, grid - 1)]))
     return float(lambdas[i])
@@ -97,14 +97,22 @@ def fit_lambda_de(gray_im: np.ndarray, targets: np.ndarray,
     return float(sol.x[0])
 
 
-def verify_lambda_dict(f_factor_path: str, input_images_path: str) -> bool:
+def verify_lambda_dict(f_factor_path: str, input_images_path: str,
+                       extensions=None) -> bool:
     """True if every input image already has a cached lambda
-    (`adaptive_lambda.py:24-35`)."""
+    (`adaptive_lambda.py:24-35`).  Unlike the reference, non-image
+    directory entries (a README, the lambda .npy itself) are skipped when
+    `extensions` is given — the reference's any-entry check permanently
+    defeats the cache for such directories, re-entering the compute path
+    (and switching the returned dict file) on every run."""
     if not f_factor_path or not os.path.isfile(f_factor_path):
         return False
     data = np.load(f_factor_path, allow_pickle=True)[()]
     for im_name in os.listdir(input_images_path):
-        if os.path.splitext(im_name)[0] not in data:
+        stem, ext = os.path.splitext(im_name)
+        if extensions is not None and ext not in extensions:
+            continue
+        if stem not in data:
             return False
     return True
 
@@ -120,7 +128,7 @@ def calc_lambda(f_factor_path: str, extensions, input_images_path: str,
     (the reference's scipy differential evolution, exact but slow)."""
     from uncltmo_tpu.ops.preprocess import reshape_image_np
 
-    if verify_lambda_dict(f_factor_path, input_images_path):
+    if verify_lambda_dict(f_factor_path, input_images_path, extensions):
         return f_factor_path
     print("Calculating lambdas for input data...")
     mean_data = np.load(mean_hist_path, allow_pickle=True)[()]

@@ -81,8 +81,13 @@ def crop_frame(im: jnp.ndarray, diffY: int, diffX: int) -> jnp.ndarray:
 
 
 def crop_center_batch(x: jnp.ndarray, diffY: int, diffX: int) -> jnp.ndarray:
-    """Centre crop NHWC batch by (diffY, diffX)
-    (`utils/data_loader_util.py:165-172`)."""
+    """Centre crop NHWC batch by (diffY, diffX) — exact port of the
+    reference's `crop_input_hdr_batch` (`utils/data_loader_util.py:165-172`)
+    INCLUDING its `int(round(d/2))` start index, which for d % 4 == 3 is
+    NOT the inverse of the (d//2, d-d//2) replicate pad (off by one row:
+    banker's round(1.5) = 2 vs pad-top 1).  Kept bit-faithful: this crop
+    only runs on the add_frame model path (`Unet_singleFrame.py:210-211`),
+    where the reference's behavior is the spec."""
     if diffY == 0 and diffX == 0:
         return x
     b, h, w, c = x.shape

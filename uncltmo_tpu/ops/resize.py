@@ -24,19 +24,10 @@ _BICUBIC_HALF_TAPS = np.array([-0.09375, 0.59375, 0.59375, -0.09375],
 
 
 def _conv1d_stride2(x: jnp.ndarray, k: jnp.ndarray, axis: int) -> jnp.ndarray:
-    c = x.shape[-1]
-    ksz = k.shape[0]
-    if axis == 1:
-        kern = k.reshape(ksz, 1, 1, 1)
-        strides = (2, 1)
-    else:
-        kern = k.reshape(1, ksz, 1, 1)
-        strides = (1, 2)
-    kern = jnp.tile(kern.astype(x.dtype), (1, 1, 1, c))
-    return lax.conv_general_dilated(
-        x, kern, window_strides=strides, padding="VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=c, precision=lax.Precision.HIGHEST)
+    # shared depthwise-conv construction (incl. the HIGHEST-precision
+    # rationale documented there)
+    from uncltmo_tpu.ops.windows import _conv1d_valid
+    return _conv1d_valid(x, k, axis, stride=2)
 
 
 def bicubic_half(x: jnp.ndarray) -> jnp.ndarray:

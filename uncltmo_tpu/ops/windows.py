@@ -45,15 +45,19 @@ def box_kernel_1d(size: int = 5) -> np.ndarray:
     return np.full((size,), 1.0 / size)
 
 
-def _conv1d_valid(x: jnp.ndarray, k: jnp.ndarray, axis: int) -> jnp.ndarray:
+def _conv1d_valid(x: jnp.ndarray, k: jnp.ndarray, axis: int,
+                  stride: int = 1) -> jnp.ndarray:
     """Valid 1-D convolution of NHWC tensor along H (axis=1) or W (axis=2),
-    applied depthwise (same kernel every channel)."""
+    applied depthwise (same kernel every channel).  `stride` along the
+    convolved axis (ops/resize uses 2 for the half-downsamples)."""
     c = x.shape[-1]
     ksz = k.shape[0]
     if axis == 1:
         kern = k.reshape(ksz, 1, 1, 1)
+        strides = (stride, 1)
     else:
         kern = k.reshape(1, ksz, 1, 1)
+        strides = (1, stride)
     kern = jnp.tile(kern.astype(x.dtype), (1, 1, 1, c))
     # HIGHEST precision: window statistics feed variance/standardization
     # formulas whose cancellations amplify bf16 truncation catastrophically
@@ -61,7 +65,7 @@ def _conv1d_valid(x: jnp.ndarray, k: jnp.ndarray, axis: int) -> jnp.ndarray:
     # optimizer under default TPU matmul precision). Tiny depthwise
     # filters; the f32 path costs nothing measurable.
     return lax.conv_general_dilated(
-        x, kern, window_strides=(1, 1), padding="VALID",
+        x, kern, window_strides=strides, padding="VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=c, precision=lax.Precision.HIGHEST)
 
