@@ -43,7 +43,7 @@ def test_tester_image_eval(tmp_path, rng):
 
     out_dir = tmp_path / "out"
     metrics = tester.save_images_for_model(
-        model, variables["params"], str(out_dir), epoch=1, epoch_iter=3)
+        variables["params"], str(out_dir), epoch=1, epoch_iter=3)
     assert "tmqi" in metrics and 0.0 < metrics["tmqi"] <= 1.0
 
     # metric baked into the result dir name (`Tester.py:282`)

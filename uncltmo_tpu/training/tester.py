@@ -111,9 +111,11 @@ class Tester:
         return items
 
     # ------------------------------------------------------------------
-    def save_images_for_model(self, model, params_G, out_dir: str,
+    def save_images_for_model(self, params_G, out_dir: str,
                               epoch: int, epoch_iter: int) -> Dict[str, float]:
-        """1/4-epoch eval hook (`Tester.py:253-312`)."""
+        """1/4-epoch eval hook (`Tester.py:253-312`).  Evaluates the model
+        bound at Tester construction with the given params (the engine is
+        model-bound; passing a different generator is not supported)."""
         self.engine.update_variables({"params": params_G})
         metrics: Dict[str, float] = {}
         if self.video and self.test_video_path and \
@@ -190,7 +192,14 @@ class Tester:
             scene_dir = os.path.join(root, scene)
             if not os.path.isdir(scene_dir):
                 continue
-            names = sorted(os.listdir(scene_dir))[:frames_per_scene]
+            names = sorted(
+                nm for nm in os.listdir(scene_dir)
+                if os.path.splitext(nm)[1] in HDR_EXTENSIONS
+            )[:frames_per_scene]
+            if not names:
+                # a stray README/.DS_Store-only dir must not kill the
+                # 1/4-epoch eval hook (and with it the training run)
+                continue
             grays, rgbs, origs = [], [], []
             dy = dx = 0
             for nm in names:

@@ -237,7 +237,10 @@ class GanTrainer:
         if self.opt.checkpoint:
             self.load_checkpoint()
         try:
-            if not self._resumed:
+            # pretraining only makes sense when D trains at all; with
+            # train_with_D=0 the pretrain step is a no-op and the epochs
+            # would be pure host/transfer wall-clock
+            if not self._resumed and getattr(self.opt, "train_with_D", 1):
                 for p_epoch in range(self.opt.d_pretrain_epochs):
                     self.train_epoch(p_epoch, pretrain=True)
                 self.num_iter = 0
@@ -256,8 +259,14 @@ class GanTrainer:
 
     def train_epoch(self, epoch: int, pretrain: bool = False,
                     start_iter: int = 0):
-        stage = stage_for_epoch(epoch)
-        g_lr, d_lr = self._lrs(epoch)
+        # the 3-stage loss schedule and the LR decay are defined over MAIN
+        # epochs; pretrain is its own phase at stage 0 / initial LR.  (The
+        # reference would feed its pretrain epoch index into the same
+        # schedule, but its pretrain call is broken at the source —
+        # `GanTrainer.py:150` calls train_epoch() without the required
+        # epoch arg — so this phase's semantics are defined here.)
+        stage = 0 if pretrain else stage_for_epoch(epoch)
+        g_lr, d_lr = self._lrs(0 if pretrain else epoch)
         steps = self.pipeline.steps_per_epoch()
         # 1/4-epoch cadence; video trainer uses 1/8 during epochs 4..7
         # (`GanTrainer.py:194-199`)
@@ -299,7 +308,15 @@ class GanTrainer:
                       f"mean {float(logs['fake/mean']):.4f}", flush=True)
             if self.num_iter % self.opt.log_every == 0 or it == steps:
                 logs = {k: float(v) for k, v in logs.items()}
+                if pretrain:
+                    # pretrain shares step indices with the main run (the
+                    # reference resets num_iter and clears its loss lists
+                    # between phases, `GanTrainer.py:153-156`); distinct
+                    # keys keep the JSONL unambiguous and the loss curves
+                    # from doubling back on the x-axis
+                    logs = {f"pretrain/{k}": v for k, v in logs.items()}
                 self.logger.log(self.num_iter, logs, epoch=epoch,
+                                phase="pretrain" if pretrain else "train",
                                 sec_per_step=(time.time() - t0)
                                 / (it - start_iter))
             if not pretrain and it % summary_every == 0:
@@ -336,7 +353,7 @@ class GanTrainer:
              if not k.startswith(("gradG/", "fake/"))})
         if self.tester is not None:
             self.tester.save_images_for_model(
-                self.gen, self._generator_params(), self.opt.output_dir,
+                self._generator_params(), self.opt.output_dir,
                 epoch, epoch_iter)
         save_args = (os.path.join(self.opt.output_dir, P.MODELS_SAVE_PATH),
                      epoch, epoch_iter, self.state)
