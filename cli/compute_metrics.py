@@ -86,15 +86,20 @@ def _tmqi_dir(hdr_dir, ldr_dir, output, max_frames=0, revised=False):
     scores = {}
     ldr_files = {os.path.splitext(f)[0]: f for f in os.listdir(ldr_dir)
                  if f.lower().endswith((".png", ".jpg"))}
-    hdr_names = sorted(os.listdir(hdr_dir))
+    # filter to HDR frames BEFORE the max_frames cut (a stray non-frame
+    # entry must not consume one of the protocol's 6 per-scene slots)
+    hdr_names = sorted(n for n in os.listdir(hdr_dir)
+                       if os.path.splitext(n)[1] in HDR_EXTENSIONS)
     if max_frames:
         hdr_names = hdr_names[:max_frames]
     for hdr_name in hdr_names:
-        stem, ext = os.path.splitext(hdr_name)
-        if ext not in HDR_EXTENSIONS:
-            continue
-        match = next((v for k, v in ldr_files.items()
-                      if k.startswith(stem)), None)
+        stem = os.path.splitext(hdr_name)[0]
+        # exact stem match (bare or any '_suffix' the savers append) — an
+        # unanchored prefix scan would pair '1.hdr' with '10_UnCLTMO.png'
+        # whenever the dict enumerates it first
+        match = ldr_files.get(stem) or next(
+            (v for k, v in sorted(ldr_files.items())
+             if k.startswith(stem + "_")), None)
         if match is None:
             continue
         hdr = read_hdr_image(os.path.join(hdr_dir, hdr_name))

@@ -42,11 +42,20 @@ def mode_lambdas(args, scene_mode=False):
     if os.path.isfile(args.output):
         res = np.load(args.output, allow_pickle=True)[()]
     if scene_mode:
-        entries = [(d, sorted(os.listdir(os.path.join(args.input_dir, d)))[0])
-                   for d in sorted(os.listdir(args.input_dir))
-                   if os.path.isdir(os.path.join(args.input_dir, d))]
-        paths = [(key, os.path.join(args.input_dir, key, first))
-                 for key, first in entries]
+        # first HDR frame of each scene; skip empty dirs and stray
+        # non-frame entries (a sorted-first '.hidden' or list.txt must not
+        # abort the batch or get a lambda fitted on it)
+        paths = []
+        for d in sorted(os.listdir(args.input_dir)):
+            scene_dir = os.path.join(args.input_dir, d)
+            if not os.path.isdir(scene_dir):
+                continue
+            frames = sorted(f for f in os.listdir(scene_dir)
+                            if os.path.splitext(f)[1] in HDR_EXTENSIONS)
+            if not frames:
+                print(f"[{d}] skipped: no HDR frames")
+                continue
+            paths.append((d, os.path.join(scene_dir, frames[0])))
     else:
         paths = [(os.path.splitext(f)[0], os.path.join(args.input_dir, f))
                  for f in sorted(os.listdir(args.input_dir))
@@ -78,6 +87,11 @@ def mode_mean_hist(args):
         hists.append(h)
         if len(hists) >= args.max_images:
             break
+    if not hists:
+        raise SystemExit(
+            f"no png/jpg/jpeg images in {args.input_dir!r} — refusing to "
+            "save a NaN mean histogram (every later lambda fit would "
+            "silently optimize a garbage objective)")
     mean_vals = np.mean(hists, axis=0)
     np.save(args.output, {"mean_vals": mean_vals, "all_bins": edges})
     print(f"saved mean histogram of {len(hists)} images to {args.output}")

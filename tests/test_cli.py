@@ -176,3 +176,29 @@ def test_main_train_image_cli_end_to_end(tmp_path):
     ckpts = [f for f in os.listdir(os.path.join(out, "models"))
              if f.endswith(".msgpack")]
     assert ckpts
+
+
+def test_compute_metrics_tmqi_dir_exact_stem_pairing(tmp_path):
+    """'1.npy' must pair with '1_UnCLTMO.png', never '10_UnCLTMO.png'
+    (unanchored prefix matching over dict order did exactly that)."""
+    import imageio.v2 as imageio
+    compute_metrics = _import_cli("compute_metrics")
+    rng = np.random.default_rng(4)
+    hdr_dir = tmp_path / "hdr"; ldr_dir = tmp_path / "ldr"
+    hdr_dir.mkdir(); ldr_dir.mkdir()
+    hdr = (rng.random((48, 64, 3)).astype(np.float32) ** 2) * 900
+    np.save(hdr_dir / "1.npy", hdr)
+    np.save(hdr_dir / "10.npy", hdr)
+    good = np.clip(np.log1p(hdr) / np.log1p(900.0) * 255, 0,
+                   255).astype(np.uint8)
+    # heavy noise degrades Q but keeps s_local positive — a fully
+    # INVERTED image drives s_local negative and TMQI's S = prod(s^w)
+    # to NaN (verified identical in the reference scipy TMQI)
+    bad = np.clip(good.astype(np.float32)
+                  + rng.normal(0, 80, good.shape), 0, 255).astype(np.uint8)
+    imageio.imwrite(ldr_dir / "1_UnCLTMO.png", good)
+    imageio.imwrite(ldr_dir / "10_UnCLTMO.png", bad)
+    scores = compute_metrics._tmqi_dir(str(hdr_dir), str(ldr_dir), "")
+    assert set(scores) == {"1", "10"}
+    # correct pairing: same hdr, good vs inverted rendering
+    assert scores["1"]["Q"] > scores["10"]["Q"]

@@ -474,3 +474,20 @@ def test_whole_image_tiny_input_and_add_frame_video_rejection(tmp_path, rng):
     with pytest.raises(ValueError, match="video path"):
         runner_af.run_on_video_path(str(tmp_path), str(tmp_path / "v"),
                                     str(lam), scene_batch=2)
+
+
+def test_lambda_dict_cache_sees_updates(tmp_path):
+    """load_lambda_dict caches on (path, mtime, size) — repeated loads hit
+    the cache, but a regenerated dict (prepare_lambdas resume) is seen."""
+    import os
+    import time
+    from uncltmo_tpu.utils.io import load_lambda_dict, save_lambda_dict
+    p = str(tmp_path / "lams.npy")
+    save_lambda_dict(p, {"a": 1.0})
+    assert load_lambda_dict(p) == {"a": 1.0}
+    # mutating the returned dict must not poison the cache
+    load_lambda_dict(p)["a"] = 99.0
+    assert load_lambda_dict(p) == {"a": 1.0}
+    time.sleep(0.01)
+    save_lambda_dict(p, {"a": 2.0, "b": 3.0})
+    assert load_lambda_dict(p) == {"a": 2.0, "b": 3.0}

@@ -240,13 +240,22 @@ class TileEngine:
         if post_name is not None and post_fn is not None:
             prev = self._post_fn_by_name.setdefault(post_name, post_fn)
 
+            def _norm_const(v):
+                # nested code objects (inner lambdas, comprehensions)
+                # compare unequal across definition lines via their own
+                # co_firstlineno — normalize them recursively too
+                if hasattr(v, "co_code"):
+                    return (v.co_code,
+                            tuple(_norm_const(x) for x in v.co_consts),
+                            v.co_names)
+                return v
+
             def _body(fn):
                 # code-object equality minus co_firstlineno: textually
                 # identical closures from different lines are the same
                 # function for caching purposes
                 c = getattr(fn, "__code__", None)
-                return ((c.co_code, c.co_consts, c.co_names)
-                        if c is not None else fn)
+                return _norm_const(c) if c is not None else fn
 
             if prev is not post_fn and _body(prev) != _body(post_fn):
                 raise ValueError(

@@ -340,7 +340,12 @@ class InferenceRunner:
             scene_dir = os.path.join(input_images_path, scene)
             if not os.path.isdir(scene_dir):
                 continue
-            names = sorted(os.listdir(scene_dir))
+            # same HDR-extension filter as run_on_path: a stray .DS_Store
+            # or README must not reach read_hdr_image / the frame stack
+            names = sorted(n for n in os.listdir(scene_dir)
+                           if os.path.splitext(n)[1] in HDR_EXTENSIONS)
+            if not names:
+                continue
             im_paths = [os.path.join(scene_dir, n) for n in names]
             im_names = [os.path.splitext(n)[0] for n in names]
             scene_jobs.append((im_paths, im_names))

@@ -243,27 +243,39 @@ def video_apply(model: UNetTMO, variables, x_btHWC: jnp.ndarray,
     toggles the contrastive feature head (training needs it; tiled
     inference does not — it costs an 11x11 depthwise conv per frame).
     """
-    def frame_fn(xt, carry):
+    def _frame_rngs(k):
+        # fold the frame index in: flax's make_rng counter resets per
+        # apply, so a scan-invariant key would draw IDENTICAL DropPath
+        # masks for every frame — the reference's per-frame torch loop
+        # (`Unet.py:218-286`) draws fresh randomness each frame
+        if rngs is None:
+            return None
+        return {name: jax.random.fold_in(key, k)
+                for name, key in rngs.items()}
+
+    def frame_fn(xt, carry, frame_rngs):
         out, up_x, new_carry = model.apply(
             variables, xt, carry, deterministic=deterministic,
-            rngs=rngs, method=UNetTMO.frame)
+            rngs=frame_rngs, method=UNetTMO.frame)
         if with_features:
             feat = model.apply(variables, up_x, method=UNetTMO.feature_head)
         else:
             feat = jnp.zeros((xt.shape[0], 0), xt.dtype)
         return out, feat, new_carry
 
-    out0, feat0, carry = frame_fn(x_btHWC[:, 0], None)
+    out0, feat0, carry = frame_fn(x_btHWC[:, 0], None, _frame_rngs(0))
     t = x_btHWC.shape[1]
     if t == 1:
         return out0[:, None], feat0[:, None]
 
-    def step(c, xt):
-        out, feat, c2 = frame_fn(xt, c)
+    def step(c, xk):
+        xt, k = xk
+        out, feat, c2 = frame_fn(xt, c, _frame_rngs(k))
         return c2, (out, feat)
 
     xs = jnp.moveaxis(x_btHWC[:, 1:], 1, 0)          # (T-1, B, H, W, C)
-    _, (outs, feats) = jax.lax.scan(step, carry, xs)
+    _, (outs, feats) = jax.lax.scan(step, carry,
+                                    (xs, jnp.arange(1, t)))
     outs = jnp.concatenate([out0[:, None], jnp.moveaxis(outs, 0, 1)], axis=1)
     feats = jnp.concatenate([feat0[:, None], jnp.moveaxis(feats, 0, 1)], axis=1)
     return outs, feats

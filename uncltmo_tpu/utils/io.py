@@ -6,6 +6,7 @@ Mirrors the reader/saver surface of `utils/hdr_image_util.py:35-67` and
 """
 from __future__ import annotations
 
+import functools
 import os
 
 import numpy as np
@@ -87,8 +88,21 @@ def save_uint8_png(im01: np.ndarray, output_path: str, im_name: str) -> str:
 
 def load_lambda_dict(path: str) -> dict:
     """Load a {image_name: lambda} dict saved as .npy
-    (reference `activate_trained_model/lambda_data/*.npy`)."""
-    return np.load(path, allow_pickle=True)[()]
+    (reference `activate_trained_model/lambda_data/*.npy`).
+
+    Cached on (realpath, mtime, size): the inference runner resolves one
+    lambda per image/scene, and re-unpickling the whole dict N times on
+    the pipelined load thread is pure waste — while the mtime key keeps a
+    dict regenerated mid-run (prepare_lambdas resume) visible."""
+    st = os.stat(path)
+    return dict(_load_lambda_dict_cached(os.path.realpath(path),
+                                         st.st_mtime_ns, st.st_size))
+
+
+@functools.lru_cache(maxsize=16)
+def _load_lambda_dict_cached(realpath: str, mtime_ns: int,
+                             size: int) -> dict:
+    return np.load(realpath, allow_pickle=True)[()]
 
 
 def save_lambda_dict(path: str, d: dict) -> None:
