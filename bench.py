@@ -246,7 +246,41 @@ def get_baseline_fps() -> float:
     return fps
 
 
+def _wait_for_tpu(attempts: int = 4, probe_timeout: int = 90,
+                  sleep_between: int = 45) -> bool:
+    """The axon TPU tunnel has multi-ten-minute outages during which
+    jax.devices() blocks FOREVER in-process (no error) — a bench run
+    started then would hang until the caller's timeout with zero output.
+    Probe in a subprocess (killable), retrying for a few minutes; on
+    exhaustion the caller emits a diagnosable JSON error instead."""
+    import subprocess
+    for i in range(attempts):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; jax.devices(); print('ok')"],
+                capture_output=True, timeout=probe_timeout, text=True)
+            if r.returncode == 0 and "ok" in r.stdout:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        print(f"TPU probe {i + 1}/{attempts} failed (tunnel down?); "
+              f"retrying in {sleep_between}s", file=sys.stderr)
+        time.sleep(sleep_between)
+    return False
+
+
 def main():
+    if not _wait_for_tpu():
+        print(json.dumps({
+            "metric": "1080p HDR tone-mapped frames/sec/chip (image TMO, "
+                      "256/64 tiled, bf16, scalar-fetch synced)",
+            "value": None, "unit": "frames/sec", "vs_baseline": None,
+            "error": "TPU backend unreachable: jax.devices() probe hung "
+                     "in a subprocess for every retry (axon tunnel "
+                     "outage) — not a framework failure; rerun when the "
+                     "tunnel is back"}))
+        sys.exit(1)
     fps = measure_tpu_fps()
     video_fps = measure_video_fps()
     train_ms = measure_train_ms_per_step()
