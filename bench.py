@@ -40,19 +40,43 @@ FRAMES_PER_CALL = 10                 # amortize the remote dispatch RTT
 CALLS = 6
 
 
-def measure_tpu_fps() -> float:
+def _make_engine():
     import jax
     import jax.numpy as jnp
     from uncltmo_tpu.inference.engine import TileEngine
     from uncltmo_tpu.models.unet import UNetTMO
-    from uncltmo_tpu.ops import color
 
     model = UNetTMO(fast_upsample=True)
     variables = jax.jit(model.init)(jax.random.PRNGKey(0),
                                     jnp.zeros((1, 256, 256, 1)))
     # one 60-tile chunk per frame: single dispatch, best MXU utilization
-    engine = TileEngine(model, variables, tile=256, overlap=64,
-                        chunk=60, dtype=jnp.bfloat16)
+    return TileEngine(model, variables, tile=256, overlap=64,
+                      chunk=60, dtype=jnp.bfloat16)
+
+
+def _make_gan_step():
+    import jax
+    import jax.numpy as jnp
+    from uncltmo_tpu.models.discriminator import SimpleDiscriminator
+    from uncltmo_tpu.models.unet import UNetTMO
+    from uncltmo_tpu.training.state import TrainState
+    from uncltmo_tpu.training.train_step import LossConfig, make_train_step
+
+    jax.config.update("jax_default_matmul_precision", "bfloat16")
+    gen = UNetTMO()
+    disc = SimpleDiscriminator()
+    kg, kd = jax.random.split(jax.random.PRNGKey(0))
+    g_vars = jax.jit(gen.init)(kg, jnp.zeros((1, 256, 256, 1)))
+    d_vars = jax.jit(disc.init)(kd, jnp.zeros((1, 256, 256, 1)))
+    state = TrainState.create(g_vars["params"], d_vars["params"])
+    return state, make_train_step(gen, disc, LossConfig())
+
+
+def measure_tpu_fps() -> float:
+    import jax.numpy as jnp
+    from uncltmo_tpu.ops import color
+
+    engine = _make_engine()
 
     rng = np.random.default_rng(0)
     batches = [jnp.asarray(rng.random((FRAMES_PER_CALL, PAD_H, PAD_W, 1),
@@ -90,16 +114,9 @@ def measure_video_fps(frames: int = 6, scenes_per_call: int = 2) -> float:
     batch at 60 tiles; a second independent scene doubles the batch to 120
     (the depth the image path also needs for MXU utilization).  Calls are
     double-buffered, matching the image measurement."""
-    import jax
     import jax.numpy as jnp
-    from uncltmo_tpu.inference.engine import TileEngine
-    from uncltmo_tpu.models.unet import UNetTMO
 
-    model = UNetTMO(fast_upsample=True)
-    variables = jax.jit(model.init)(jax.random.PRNGKey(0),
-                                    jnp.zeros((1, 256, 256, 1)))
-    engine = TileEngine(model, variables, tile=256, overlap=64,
-                        chunk=60, dtype=jnp.bfloat16)
+    engine = _make_engine()
     rng = np.random.default_rng(1)
     batches = [jnp.asarray(
         rng.random((scenes_per_call, frames, PAD_H, PAD_W, 1), np.float32))
@@ -128,19 +145,8 @@ def measure_train_ms_per_step(batch: int = 8, steps: int = 6) -> float:
     B=8 256x256 config, bf16 matmuls, on one chip."""
     import jax
     import jax.numpy as jnp
-    from uncltmo_tpu.models.discriminator import SimpleDiscriminator
-    from uncltmo_tpu.models.unet import UNetTMO
-    from uncltmo_tpu.training.state import TrainState
-    from uncltmo_tpu.training.train_step import LossConfig, make_train_step
 
-    jax.config.update("jax_default_matmul_precision", "bfloat16")
-    gen = UNetTMO()
-    disc = SimpleDiscriminator()
-    kg, kd = jax.random.split(jax.random.PRNGKey(0))
-    g_vars = jax.jit(gen.init)(kg, jnp.zeros((1, 256, 256, 1)))
-    d_vars = jax.jit(disc.init)(kd, jnp.zeros((1, 256, 256, 1)))
-    state = TrainState.create(g_vars["params"], d_vars["params"])
-    step = make_train_step(gen, disc, LossConfig())
+    state, step = _make_gan_step()
     rng = np.random.default_rng(2)
     batch_data = {
         k: jnp.asarray(rng.random((batch, 2, 256, 256, 1), np.float32))
@@ -164,19 +170,8 @@ def measure_sustained_train_sps(batch: int = 8, steps: int = 12) -> float:
     import jax
     import jax.numpy as jnp
     from uncltmo_tpu.data.pipeline import SyntheticDataSource, TrainPipeline
-    from uncltmo_tpu.models.discriminator import SimpleDiscriminator
-    from uncltmo_tpu.models.unet import UNetTMO
-    from uncltmo_tpu.training.state import TrainState
-    from uncltmo_tpu.training.train_step import LossConfig, make_train_step
 
-    jax.config.update("jax_default_matmul_precision", "bfloat16")
-    gen = UNetTMO()
-    disc = SimpleDiscriminator()
-    kg, kd = jax.random.split(jax.random.PRNGKey(0))
-    g_vars = jax.jit(gen.init)(kg, jnp.zeros((1, 256, 256, 1)))
-    d_vars = jax.jit(disc.init)(kd, jnp.zeros((1, 256, 256, 1)))
-    state = TrainState.create(g_vars["params"], d_vars["params"])
-    step = make_train_step(gen, disc, LossConfig())
+    state, step = _make_gan_step()
     key = jax.random.PRNGKey(3)
 
     pipe = TrainPipeline(
@@ -233,15 +228,21 @@ def measure_torch_cpu_baseline() -> float:
 
 
 def get_baseline_fps() -> float:
+    workload = f"{H}x{W} pad {PAD_H}x{PAD_W}, 256/64 tiles"
     if os.path.exists(BASELINE_CACHE):
         with open(BASELINE_CACHE) as f:
-            return float(json.load(f)["torch_cpu_fps"])
+            cached = json.load(f)
+        # the cache stores cpu count + workload precisely so a stale
+        # baseline (different machine, changed tiling) is re-measured
+        # instead of silently skewing vs_baseline
+        if (cached.get("cpus") == os.cpu_count()
+                and cached.get("workload") == workload):
+            return float(cached["torch_cpu_fps"])
     fps = measure_torch_cpu_baseline()
     if fps > 0:
         with open(BASELINE_CACHE, "w") as f:
             json.dump({"torch_cpu_fps": fps,
-                       "workload": f"{H}x{W} pad {PAD_H}x{PAD_W}, "
-                                   f"256/64 tiles",
+                       "workload": workload,
                        "cpus": os.cpu_count()}, f)
     return fps
 
@@ -262,11 +263,18 @@ def _wait_for_tpu(attempts: int = 4, probe_timeout: int = 90,
                 capture_output=True, timeout=probe_timeout, text=True)
             if r.returncode == 0 and "ok" in r.stdout:
                 return True
+            # fast rc!=0 = a broken environment (jax import error etc.),
+            # NOT a tunnel hang — retrying won't fix it; surface stderr
+            print(f"TPU probe exited rc={r.returncode} (environment "
+                  f"problem, not a tunnel hang):\n{r.stderr}",
+                  file=sys.stderr)
+            return False
         except subprocess.TimeoutExpired:
             pass
-        print(f"TPU probe {i + 1}/{attempts} failed (tunnel down?); "
-              f"retrying in {sleep_between}s", file=sys.stderr)
-        time.sleep(sleep_between)
+        if i + 1 < attempts:
+            print(f"TPU probe {i + 1}/{attempts} hung (tunnel down?); "
+                  f"retrying in {sleep_between}s", file=sys.stderr)
+            time.sleep(sleep_between)
     return False
 
 
@@ -276,10 +284,10 @@ def main():
             "metric": "1080p HDR tone-mapped frames/sec/chip (image TMO, "
                       "256/64 tiled, bf16, scalar-fetch synced)",
             "value": None, "unit": "frames/sec", "vs_baseline": None,
-            "error": "TPU backend unreachable: jax.devices() probe hung "
-                     "in a subprocess for every retry (axon tunnel "
-                     "outage) — not a framework failure; rerun when the "
-                     "tunnel is back"}))
+            "error": "TPU probe failed before measuring — either the "
+                     "axon tunnel is down (probe hung every retry; rerun "
+                     "when it is back) or the probe subprocess errored "
+                     "(see stderr for the diagnosis)"}))
         sys.exit(1)
     fps = measure_tpu_fps()
     video_fps = measure_video_fps()

@@ -140,7 +140,8 @@ def cmd_fid(args):
     fid = calculate_fid_given_paths([args.real_dir, args.fake_dir],
                                     batch_size=args.batch_size, dims=768,
                                     small_dset=bool(args.small_dset),
-                                    weights_path=args.inception_weights)
+                                    weights_path=args.inception_weights,
+                                    max_images=args.max_images or None)
     print(f"FID: {fid:.4f}")
     _save(args.output, {"fid": fid})
 
@@ -211,6 +212,13 @@ def main(argv=None):
                         "(URL in the reference's fid/inception.py:13) or "
                         "any torchvision inception_v3 weights. Required — "
                         "FID on random weights is garbage.")
+    f.add_argument("--max_images", type=int, default=0,
+                   help="cap images per side (the reference wrapper's "
+                        "--number_of_images intent; 0 = the protocol's "
+                        "900 cap). NOTE: the reference's own "
+                        "small_dset_run_fid.sh passes --number_of_images "
+                        "to a script that doesn't define it (argparse "
+                        "would reject) — the flag works here.")
     f.add_argument("--output", default="")
     b = sub.add_parser("btmqi")
     b.add_argument("--ldr_dir", required=True)

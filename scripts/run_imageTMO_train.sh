@@ -37,10 +37,16 @@ up_mode=0
 input_dim=1
 output_dim=1
 loss_g_d_factor=0.1
-adv_weight_list="1,1,0"
+# effective published value: the reference run_*.sh assigns "1,1,0"
+# at the top but its launch loop overrides with adv_weight_list_lst
+# (run_imageTMO_train.sh:108); the shipped checkpoints'
+# run_settings.npy confirms 0.2,0.2,0.2
+adv_weight_list="0.2,0.2,0.2"
 ssim_loss_factor=1
 ssim_window_size=5
-pyramid_weight_list="0.2,0.4,0.6"
+# same: loop override (run_imageTMO_train.sh:106), confirmed by the
+# shipped run_settings.npy
+pyramid_weight_list="1,1,1"
 data_root_npy="${DATA_ROOT_NPY:-data/HDRplus_patches512_npy}"
 data_root_ldr="${DATA_ROOT_LDR:-data/DIV2K_patches512_npy2}"
 test_dataroot_original_hdr="${TEST_ORIGINAL_HDR:-data/input_images}"

@@ -1,5 +1,5 @@
 #!/bin/bash
-# Image-TMO training launcher — same knobs as the reference
+# Video-TMO training launcher — same knobs as the reference
 # `run_videoTMO_train.sh` (published config values), forwarded as named
 # flags instead of the reference's 68 positional args.
 set -e
@@ -37,10 +37,16 @@ up_mode=0
 input_dim=1
 output_dim=1
 loss_g_d_factor=0.1
-adv_weight_list="1,1,0"
+# effective published value: the reference run_*.sh assigns "1,1,0"
+# at the top but its launch loop overrides with adv_weight_list_lst
+# (run_imageTMO_train.sh:108); the shipped checkpoints'
+# run_settings.npy confirms 0.2,0.2,0.2
+adv_weight_list="0.2,0.2,0.2"
 ssim_loss_factor=1
 ssim_window_size=5
-pyramid_weight_list="0.2,0.4,0.6"
+# same: loop override (run_imageTMO_train.sh:106), confirmed by the
+# shipped run_settings.npy
+pyramid_weight_list="1,1,1"
 data_root_npy="${DATA_ROOT_NPY:-data/HDRplus_patches512_npy}"
 data_root_ldr="${DATA_ROOT_LDR:-data/DIV2K_patches512_npy2}"
 test_dataroot_original_hdr="${TEST_ORIGINAL_HDR:-data/input_images}"
@@ -50,6 +56,12 @@ data_trc="min_log"
 add_frame=0
 normalization="bugy_max_normalization"
 result_dir_prefix="${RESULT_DIR:-results_videoTMOTrain/bs8}"
+# video-specific training pools (reference hardcodes these,
+# ProcessedDatasetFolder.py:262-267)
+hdr_video_root="${HDR_VIDEO_ROOT:-data/train_HDRvideo}"
+srgb_video_root="${SRGB_VIDEO_ROOT:-data/train_sRGBvideo}"
+neg_ldr_root="${NEG_LDR_ROOT:-data/SICE_patches512_npy}"
+f_train_hdrvideo_dict_path="${F_TRAIN_HDRVIDEO_DICT:-data/input_images_lambdas_HDRvideo_train.npy}"
 
 exec python cli/main_train.py \
   --checkpoint $checkpoint --change_random_seed $change_random_seed \
@@ -75,4 +87,7 @@ exec python cli/main_train.py \
   --factor_coeff $factor_coeff --f_train_dict_path "$f_train_dict_path" \
   --data_trc $data_trc --add_frame $add_frame \
   --normalization $normalization \
+  --hdr_video_root "$hdr_video_root" --srgb_video_root "$srgb_video_root" \
+  --neg_ldr_root "$neg_ldr_root" \
+  --f_train_hdrvideo_dict_path "$f_train_hdrvideo_dict_path" \
   --result_dir_prefix "$result_dir_prefix" "$@"

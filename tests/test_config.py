@@ -51,3 +51,18 @@ def test_manual_d_training_sets_input_dim(tmp_path, monkeypatch):
     opt = config.get_opt(["--manual_d_training", "1",
                           "--result_dir_prefix", str(tmp_path / "r")])
     assert opt.input_dim == 2
+
+
+def test_options_from_model_params_forwards_convtranspose_kernel():
+    """A k!=2 checkpoint must hit make_generator's explicit guard on the
+    inference path, not an opaque flax shape mismatch at restore."""
+    import pytest
+    from uncltmo_tpu.config import options_from_model_params
+    from uncltmo_tpu.models.unet import make_generator
+
+    opt = options_from_model_params({"convtranspose_kernel": 4})
+    assert opt.convtranspose_kernel == 4
+    with pytest.raises(ValueError, match="convtranspose_kernel"):
+        make_generator(opt)
+    # published k=2 path unaffected
+    make_generator(options_from_model_params({}))

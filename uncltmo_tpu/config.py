@@ -259,4 +259,8 @@ def options_from_model_params(mp: dict) -> Options:
         data_trc=str(mp.get("data_trc", "min_log")),
         add_frame=int(mp.get("add_frame", 0)),
         final_shape_addition=int(mp.get("final_shape_addition", 0)),
+        # forward so make_generator's k!=2 guard can actually fire on the
+        # inference path (otherwise a k=4 checkpoint builds a k=2 model
+        # and dies in an opaque flax shape mismatch at restore)
+        convtranspose_kernel=int(mp.get("convtranspose_kernel", 2)),
     )

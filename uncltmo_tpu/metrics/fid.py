@@ -88,7 +88,8 @@ def frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6) -> float:
 
 def path_statistics(path: str, extractor: Callable, fake_side: bool,
                     batch_size: int = 20, small_dset: bool = False,
-                    shuffle_seed: Optional[int] = 10
+                    shuffle_seed: Optional[int] = 10,
+                    max_images: Optional[int] = None
                     ) -> Tuple[np.ndarray, np.ndarray]:
     files = sorted(f for f in os.listdir(path)
                    if f.lower().endswith((".png", ".jpg", ".jpeg")))
@@ -101,7 +102,7 @@ def path_statistics(path: str, extractor: Callable, fake_side: bool,
         # cap (`fid_score.py:258-261`); small-dset takes files in order
         import random
         random.Random(shuffle_seed).shuffle(files)
-    files = files[:MAX_IMAGES]
+    files = files[:max_images if max_images else MAX_IMAGES]
     all_vecs: List[np.ndarray] = []
     for i in range(0, len(files), batch_size):
         batch = np.stack([
@@ -116,7 +117,8 @@ def calculate_fid_given_paths(paths, batch_size: int = 20, cuda: bool = False,
                               dims: int = 768,
                               extractor: Optional[Callable] = None,
                               small_dset: bool = False,
-                              weights_path: Optional[str] = None) -> float:
+                              weights_path: Optional[str] = None,
+                              max_images: Optional[int] = None) -> float:
     """Reference CLI-compatible entry (`fid_score.py:267-291`):
     paths = [real_dir, fake_dir].  `small_dset=True` selects the
     `fid_score_small_dset.py` protocol variant (real-side stretch, no fake
@@ -134,7 +136,9 @@ def calculate_fid_given_paths(paths, batch_size: int = 20, cuda: bool = False,
         from uncltmo_tpu.metrics.inception import make_inception_extractor
         extractor = make_inception_extractor(weights_path, dims=dims)
     mu1, s1 = path_statistics(paths[0], extractor, fake_side=False,
-                              batch_size=batch_size, small_dset=small_dset)
+                              batch_size=batch_size, small_dset=small_dset,
+                              max_images=max_images)
     mu2, s2 = path_statistics(paths[1], extractor, fake_side=True,
-                              batch_size=batch_size, small_dset=small_dset)
+                              batch_size=batch_size, small_dset=small_dset,
+                              max_images=max_images)
     return frechet_distance(mu1, s1, mu2, s2)
