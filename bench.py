@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -247,14 +248,14 @@ def get_baseline_fps() -> float:
     return fps
 
 
-def _wait_for_tpu(attempts: int = 4, probe_timeout: int = 90,
-                  sleep_between: int = 45) -> bool:
-    """The axon TPU tunnel has multi-ten-minute outages during which
+def _wait_for_tpu(attempts: int = 8, probe_timeout: int = 90,
+                  sleep_between: int = 90) -> bool:
+    """The axon TPU tunnel has multi-TEN-minute outages during which
     jax.devices() blocks FOREVER in-process (no error) — a bench run
     started then would hang until the caller's timeout with zero output.
-    Probe in a subprocess (killable), retrying for a few minutes; on
-    exhaustion the caller emits a diagnosable JSON error instead."""
-    import subprocess
+    Probe in a subprocess (killable), retrying for up to ~20 minutes
+    (sized to the observed outage length); on exhaustion the caller
+    emits a diagnosable JSON error instead."""
     for i in range(attempts):
         try:
             r = subprocess.run(
