@@ -73,5 +73,9 @@ def run_trained_model(args):
     print("tone mapping took [%.2f] seconds" % (time.time() - start))
 
 
+def main(argv=None):
+    run_trained_model(get_args(argv))
+
+
 if __name__ == "__main__":
-    run_trained_model(get_args())
+    main()

@@ -7,4 +7,4 @@ preprocessing and metrics, batched tiled inference, sharded data-parallel
 training over a `jax.sharding.Mesh`.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"  # keep in sync with pyproject.toml
