@@ -202,3 +202,41 @@ def test_compute_metrics_tmqi_dir_exact_stem_pairing(tmp_path):
     assert set(scores) == {"1", "10"}
     # correct pairing: same hdr, good vs inverted rendering
     assert scores["1"]["Q"] > scores["10"]["Q"]
+
+
+# ---------------------------------------------------------------------------
+# Launch-script <-> CLI flag parity: every --flag a scripts/*.sh wrapper
+# passes must be accepted by the CLI it invokes (the reference's wrappers
+# repeatedly drifted from their argparse surfaces, e.g.
+# `fid/small_dset_run_fid.sh` passing an undefined --number_of_images).
+_SCRIPTS_DIR = os.path.join(os.path.dirname(__file__), "..", "scripts")
+
+_LAUNCHERS = [
+    ("run_imageTMO_train.sh", "main_train_image", []),
+    ("run_videoTMO_train.sh", "main_train", []),
+    ("run_imageTMO_test_on_HDRSurveyDataset.sh", "test_imageTMO", []),
+    ("run_imageTMO_test_on_HDRIHavenDataset.sh", "test_imageTMO", []),
+    ("run_imageTMO_test_on_LVZHDRDataset.sh", "test_imageTMO", []),
+    ("run_videoTMO_test_on_UVTMTestDataset.sh", "test_videoTMO", []),
+    ("run_hist_fit.sh", "prepare_lambdas", []),
+    ("run_fid.sh", "compute_metrics", ["fid"]),
+]
+
+
+@pytest.mark.parametrize("script,cli,prefix", _LAUNCHERS,
+                         ids=[s for s, _, _ in _LAUNCHERS])
+def test_launch_script_flags_accepted_by_cli(script, cli, prefix, capsys):
+    import re
+    mod = _import_cli(cli)
+    with pytest.raises(SystemExit) as e:
+        mod.main(prefix + ["--help"])
+    assert e.value.code == 0
+    helptext = capsys.readouterr().out
+    known = set(re.findall(r"--[a-zA-Z0-9_]+", helptext))
+    with open(os.path.join(_SCRIPTS_DIR, script)) as f:
+        used = set(re.findall(r"--[a-zA-Z0-9_]+", f.read()))
+    missing = used - known
+    assert not missing, (
+        f"{script} passes flags its CLI ({cli}) does not accept: "
+        f"{sorted(missing)}")
+    assert used, f"{script} passes no flags at all?"
