@@ -49,6 +49,10 @@ ssim_window_size=5
 pyramid_weight_list="1,1,1"
 data_root_npy="${DATA_ROOT_NPY:-data/HDRplus_patches512_npy}"
 data_root_ldr="${DATA_ROOT_LDR:-data/DIV2K_patches512_npy2}"
+# SICE over/under-exposed negatives — the image dataset draws its ldr_neg
+# stream from this pool too (`ProcessedDatasetFolderImg.py:265-267`);
+# without it the contrastive losses degrade to positive-vs-positive
+neg_ldr_root="${NEG_LDR_ROOT:-data/SICE_patches512_npy}"
 test_dataroot_original_hdr="${TEST_ORIGINAL_HDR:-data/input_images}"
 factor_coeff=0.1
 f_train_dict_path="${F_TRAIN_DICT:-data/input_images_lambdas_HDRplus256train.npy}"
@@ -77,6 +81,7 @@ exec python cli/main_train_image.py \
   --ssim_loss_factor $ssim_loss_factor --ssim_window_size $ssim_window_size \
   --pyramid_weight_list $pyramid_weight_list \
   --data_root_npy "$data_root_npy" --data_root_ldr "$data_root_ldr" \
+  --neg_ldr_root "$neg_ldr_root" \
   --test_dataroot_original_hdr "$test_dataroot_original_hdr" \
   --factor_coeff $factor_coeff --f_train_dict_path "$f_train_dict_path" \
   --data_trc $data_trc --add_frame $add_frame \

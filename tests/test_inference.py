@@ -315,6 +315,13 @@ def test_run_images_cache_keys_on_post_name():
     with pytest.raises(ValueError, match="post_name"):
         eng.run_images(frames, post_fn=lambda x: x + 1.0,
                        post_name="double")
+    # a name first used WITHOUT a post_fn must not serve its cached
+    # raw-output executable to a later call that passes a real post_fn
+    eng.run_images(frames, post_name="raw")
+    with pytest.raises(ValueError, match="post_name"):
+        eng.run_images(frames, post_fn=lambda x: x * 2.0, post_name="raw")
+    with pytest.raises(ValueError, match="post_name"):
+        eng.run_images(frames, post_name="double")
 
 
 def test_whole_image_inference_paths(tmp_path, rng):

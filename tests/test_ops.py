@@ -1,4 +1,6 @@
 """Parity tests for core ops against torch/numpy references."""
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -103,6 +105,30 @@ def test_verify_lambda_dict_ignores_non_image_entries(tmp_path):
     dict_path = str(tmp_path / "lams.npy")
     np.save(dict_path, {"im0": 123.0})
     assert verify_lambda_dict(dict_path, str(d), extensions=(".npy",))
+    # the dict living INSIDE the input dir is a .npy (an HDR extension)
+    # but is not an image to look up — it must be skipped by path
+    inner_dict = str(d / "inner_lams.npy")
+    np.save(inner_dict, {"im0": 123.0})
+    assert verify_lambda_dict(inner_dict, str(d), extensions=(".npy",))
+    os.unlink(inner_dict)
     # an actual uncached image still fails the check
     np.save(d / "im1.npy", np.ones((8, 8, 3), np.float32))
     assert not verify_lambda_dict(dict_path, str(d), extensions=(".npy",))
+
+
+def test_calc_lambda_skips_dict_files_in_input_dir(tmp_path):
+    """calc_lambda must not feed its own dict .npy files to
+    read_hdr_image (a pickled 0-d object array would crash the luma
+    matmul)."""
+    from uncltmo_tpu.ops.lambda_est import calc_lambda
+    d = tmp_path / "in"
+    d.mkdir()
+    np.save(d / "im0.npy", np.ones((16, 16, 3), np.float32) * 0.5)
+    dict_path = str(d / "lams.npy")          # dict lives in the input dir
+    np.save(dict_path, {})
+    mean_hist = str(tmp_path / "hist.npy")
+    np.save(mean_hist, {"mean_vals": np.full(20, 0.05, np.float32)})
+    out = calc_lambda(dict_path, (".npy",), str(d), mean_hist, str(d))
+    res = np.load(out, allow_pickle=True)[()]
+    assert "im0" in res and "lams" not in res
+    assert "input_images_lambdas" not in res

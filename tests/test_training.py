@@ -163,8 +163,12 @@ def test_video_ldr_pathway_consecutive_frames(tmp_path, rng):
     np.save(scene / "001.npy", f1)
     lam = tmp_path / "lams.npy"
     np.save(lam, {"sceneA": 40.0})
+    # hdr stream satisfied by the same scene files: construction now
+    # requires every stream to have at least one non-empty pool
     src = TrainDataSource(
-        hdr_glob="", ldr_glob="",
+        hdr_glob=str(scene / "*.npy"),
+        ldr_glob="",
+        neg_ldr_glob=str(scene / "*.npy"),
         lambda_table=LambdaTable(str(lam), 0.1),
         srgb_video_glob=str(tmp_path / "vid" / "*" / "*.npy"),
         video_lambda_table=LambdaTable(str(lam), 0.1))
@@ -177,6 +181,45 @@ def test_video_ldr_pathway_consecutive_frames(tmp_path, rng):
     # width-only crop: each row of frame 0 is a contiguous x-ramp
     ramp = np.diff(luma0[0] / np.float32(P_REC601_R))
     np.testing.assert_allclose(ramp, 1.0, atol=1e-3)
+
+
+def test_video_only_source_guards_and_samples(tmp_path, rng):
+    """A stream with NO non-empty pool raises at construction (sample()
+    would rng.integers(0) intermittently); a video pool with no static
+    counterpart takes the video branch on EVERY draw instead of crashing
+    on half of them."""
+    import pytest as _pytest
+
+    from uncltmo_tpu.data.pipeline import LambdaTable, TrainDataSource
+    scene = tmp_path / "vid" / "sceneA"
+    scene.mkdir(parents=True)
+    im = np.ones((256, 512, 3), np.float32)
+    np.save(scene / "000.npy", im)
+    np.save(scene / "001.npy", im + 1.0)
+    lam_path = tmp_path / "lams.npy"
+    np.save(lam_path, {"sceneA": 40.0})
+    lam = LambdaTable(str(lam_path), 0.1)
+    vid_glob = str(tmp_path / "vid" / "*" / "*.npy")
+
+    with _pytest.raises(ValueError, match="no HDR training pool"):
+        TrainDataSource(hdr_glob="", ldr_glob=vid_glob, lambda_table=lam)
+    with _pytest.raises(ValueError, match="no positive-LDR pool"):
+        TrainDataSource(hdr_glob=vid_glob, ldr_glob="", lambda_table=lam)
+    with _pytest.raises(ValueError, match="no negative-LDR pool"):
+        TrainDataSource(hdr_glob=vid_glob, ldr_glob="",
+                        srgb_video_glob=vid_glob, lambda_table=lam,
+                        video_lambda_table=lam)
+
+    src = TrainDataSource(hdr_glob="", ldr_glob="",
+                          hdr_video_glob=vid_glob,
+                          srgb_video_glob=vid_glob,
+                          neg_ldr_glob=vid_glob,
+                          lambda_table=lam, video_lambda_table=lam)
+    assert len(src) == 2
+    for _ in range(4):        # every draw must take the video pathway
+        batch = src.sample(rng)
+        assert batch["hdr"].shape == (2, 256, 256, 1)
+        assert batch["ldr_pos"].shape == (2, 256, 256, 1)
 
 
 P_REC601_R = 0.299

@@ -173,6 +173,22 @@ class TrainDataSource:
                 "video pools configured but no video_lambda_table; the "
                 "reference reads f_train_hdrvideo_dict_path for every "
                 "video draw (ProcessedDatasetFolder.py:264,301)")
+        # every stream needs at least one non-empty pool, or sample()
+        # would rng.integers(0) on some draws (the reference layout always
+        # has the static pools; video-only sources are a framework
+        # extension and run their video pathway on every draw)
+        if not (self.hdr_files or self.hdr_video):
+            raise ValueError(
+                "no HDR training pool configured (hdr_glob and "
+                "hdr_video_glob are both empty)")
+        if not (self.ldr_files or self.srgb_video):
+            raise ValueError(
+                "no positive-LDR pool configured (ldr_glob and "
+                "srgb_video_glob are both empty)")
+        if not (self.neg_ldr or self.ldr_files):
+            raise ValueError(
+                "no negative-LDR pool available: neg_ldr_glob is empty and "
+                "the static positive pool it falls back to is empty too")
         self.lam = lambda_table
         self.video_lam = video_lambda_table or lambda_table
         self.normalization = normalization
@@ -182,9 +198,9 @@ class TrainDataSource:
         (`GanTrainer.py:172-174`): min over the static-HDR list, the
         positive-LDR list, and the x8-replicated negative list
         (`ProcessedDatasetFolder(Img).__len__`)."""
-        lengths = [len(self.hdr_files)]
-        if self.ldr_files:
-            lengths.append(len(self.ldr_files))
+        lengths = [len(self.hdr_files) or len(self.hdr_video)]
+        if self.ldr_files or self.srgb_video:
+            lengths.append(len(self.ldr_files) or len(self.srgb_video))
         if self.neg_ldr:
             lengths.append(NEG_REPLICATION * len(self.neg_ldr))
         return min(lengths)
@@ -248,11 +264,16 @@ class TrainDataSource:
         separate DataLoaders in the reference, each running its own
         `__getitem__` coin flip (`ProcessedDatasetFolder.py:290-301`); the
         negative stream is always static (`:286-289`, ldrNegMode)."""
-        hdr_video = (bool(self.hdr_video) and rng.uniform() >= 0.5)
+        # a video pool with no static counterpart takes the video branch
+        # on every draw (short-circuit BEFORE the uniform() so the draw
+        # sequence of the reference layout is unchanged)
+        hdr_video = (bool(self.hdr_video)
+                     and (not self.hdr_files or rng.uniform() >= 0.5))
         hdr_pool = self.hdr_video if hdr_video else self.hdr_files
         hdr = self._hdr_frames(hdr_pool[rng.integers(len(hdr_pool))], rng,
                                hdr_video)
-        pos_video = (bool(self.srgb_video) and rng.uniform() >= 0.5)
+        pos_video = (bool(self.srgb_video)
+                     and (not self.ldr_files or rng.uniform() >= 0.5))
         pos_pool = self.srgb_video if pos_video else self.ldr_files
         ldr_pos = self._ldr_frames(pos_pool[rng.integers(len(pos_pool))],
                                    rng, pos_video)

@@ -237,8 +237,7 @@ class TileEngine:
         g = frames_per_step
         assert f % g == 0, (f, g)
         key = (f, h, w, post_name if post_name is not None else post_fn, g)
-        if post_name is not None and post_fn is not None:
-            prev = self._post_fn_by_name.setdefault(post_name, post_fn)
+        if post_name is not None:
 
             def _norm_const(v):
                 # nested code objects (inner lambdas, comprehensions)
@@ -257,7 +256,20 @@ class TileEngine:
                 c = getattr(fn, "__code__", None)
                 return _norm_const(c) if c is not None else fn
 
-            if prev is not post_fn and _body(prev) != _body(post_fn):
+            def _same(a, b):
+                # post_fn=None is a distinct (identity) post under a name:
+                # a name first used without a post_fn must not silently
+                # serve its cached raw-output executable to a caller that
+                # passes a real post_fn later (and vice versa)
+                if a is b:
+                    return True
+                if a is None or b is None:
+                    return False
+                return _body(a) == _body(b)
+
+            first_use = post_name not in self._post_fn_by_name
+            prev = self._post_fn_by_name.setdefault(post_name, post_fn)
+            if not first_use and not _same(prev, post_fn):
                 raise ValueError(
                     f"post_name {post_name!r} was first used with a "
                     "different post_fn; names key the compile cache, so "

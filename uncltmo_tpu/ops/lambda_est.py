@@ -108,9 +108,15 @@ def verify_lambda_dict(f_factor_path: str, input_images_path: str,
     if not f_factor_path or not os.path.isfile(f_factor_path):
         return False
     data = np.load(f_factor_path, allow_pickle=True)[()]
+    dict_path = os.path.realpath(f_factor_path)
     for im_name in os.listdir(input_images_path):
         stem, ext = os.path.splitext(im_name)
         if extensions is not None and ext not in extensions:
+            continue
+        # the lambda dict itself is a .npy (an HDR extension) — when it
+        # lives inside the input directory it is not an image to look up
+        if os.path.realpath(
+                os.path.join(input_images_path, im_name)) == dict_path:
             continue
         if stem not in data:
             return False
@@ -137,11 +143,19 @@ def calc_lambda(f_factor_path: str, extensions, input_images_path: str,
     res = {}
     if os.path.isfile(out_path):
         res = np.load(out_path, allow_pickle=True)[()]
+    skip_paths = {os.path.realpath(p)
+                  for p in (f_factor_path, out_path)
+                  if p and os.path.isfile(p)}
     for img_name in sorted(os.listdir(input_images_path)):
         stem, ext = os.path.splitext(img_name)
         if stem in res or ext not in extensions:
             continue
-        rgb = read_hdr_image(os.path.join(input_images_path, img_name))
+        img_path = os.path.join(input_images_path, img_name)
+        # lambda dicts are .npy files too; feeding one to read_hdr_image
+        # would crash on the pickled 0-d object array
+        if os.path.realpath(img_path) in skip_paths:
+            continue
+        rgb = read_hdr_image(img_path)
         gray = rgb[..., :3] @ np.asarray([0.299, 0.587, 0.114], np.float32)
         if gray.min() < 0:
             gray = gray - gray.min()

@@ -435,8 +435,12 @@ class GanTrainer:
                     weights_path=None if weights == "none" else weights)
                 np.save(os.path.join(self.opt.output_dir, "fid_results.npy"),
                         {model_params["model_name"]: fid})
-            except RuntimeError as e:
-                print(f"FID skipped: {e}")
+            except Exception as e:
+                # FID is an optional post-training report; a bad weights
+                # path (FileNotFoundError), an empty image dir (ValueError)
+                # or a missing torch (ImportError) must not crash a run
+                # whose training already completed
+                print(f"FID skipped: {type(e).__name__}: {e}")
         return outs
 
     def load_checkpoint(self):
