@@ -27,6 +27,22 @@ def test_warp_error_shifted_frames():
     assert e1_flow < e1_noflow
 
 
+def test_warp_error_rejects_unknown_or_unavailable_algo(rng):
+    """Warp-error numbers are not comparable across flow backends, so a
+    typo'd or unavailable estimator must raise, never silently substitute
+    Farneback."""
+    from uncltmo_tpu.metrics.warp_error import (_HAS_CV2,
+                                                compute_warp_error)
+    frame = rng.random((128, 160, 3)).astype(np.float32)
+    with pytest.raises(ValueError, match="unknown flow algo"):
+        compute_warp_error(frame, frame, algo="dis")
+    if _HAS_CV2:
+        import cv2
+        if not hasattr(cv2, "optflow"):
+            with pytest.raises(RuntimeError, match="DeepFlow"):
+                compute_warp_error(frame, frame, algo="DeepFlow")
+
+
 def test_frechet_distance_properties(rng):
     from uncltmo_tpu.metrics.fid import (activation_statistics,
                                          frechet_distance)
@@ -59,13 +75,16 @@ def test_fid_small_dset_variant(tmp_path, rng):
     p = tmp_path / "im.png"
     cv2.imwrite(str(p), im)
 
+    base = load_fid_image(str(p), False)
     main_fake = load_fid_image(str(p), fake_side=True)
-    assert main_fake.mean() == pytest.approx(
-        0.2 * load_fid_image(str(p), False).mean() + 0.8 * 0.45, abs=0.02)
+    # main-protocol fake: stretched by its own max FIRST, then mean-shifted
+    # toward 0.45 with alpha=0.8 (`fid_score.py:136-141`)
+    x = base / base.max()
+    np.testing.assert_allclose(
+        main_fake, np.clip(x + 0.8 * (0.45 - x.mean()), 0, 1), atol=1e-6)
     sd_fake = load_fid_image(str(p), fake_side=True, small_dset=True)
     np.testing.assert_array_equal(sd_fake, load_fid_image(str(p), False))
     sd_real = load_fid_image(str(p), fake_side=False, small_dset=True)
-    base = load_fid_image(str(p), False)
     expect = np.clip((base - base.min()) / base.max() * 1.05 - 0.025, 0, 1)
     np.testing.assert_allclose(sd_real, expect, atol=1e-6)
 

@@ -26,6 +26,20 @@ def test_unet_shapes(gen_and_vars):
     assert bool(jnp.all((out >= 0) & (out <= 1)))  # sigmoid head
 
 
+def test_unet_padding_zeros_mode():
+    """torch-style --padding zeros must work end to end: the decoder's
+    skip-size mismatch pads through _pad_or_crop with the model's padding
+    mode on every 256x256 forward, so an unnormalized mode string crashes
+    the first step (jnp.pad has no 'zeros')."""
+    model = UNetTMO(padding_mode="zeros")
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                    jnp.zeros((1, 256, 256, 1)))
+    out, _ = jax.jit(model.apply)(variables,
+                                  jnp.full((1, 256, 256, 1), 0.5))
+    assert out.shape == (1, 256, 256, 1)
+    assert bool(jnp.all(jnp.isfinite(out)))
+
+
 def test_unet_param_count(gen_and_vars):
     # Published arch ~ a few M params; sanity-bound it.
     _, variables = gen_and_vars

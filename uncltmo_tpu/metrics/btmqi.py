@@ -47,6 +47,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from uncltmo_tpu import params as P
 from uncltmo_tpu.metrics.tmqi import statistical_naturalness
 from uncltmo_tpu.ops.windows import window_var, fspecial_gauss_1d
 
@@ -61,13 +62,16 @@ def _entropy(x01: jnp.ndarray) -> jnp.ndarray:
     12-bit quantization after the Gaussian local-mean smoothing below: the
     smoothed field is continuous-valued, so its entropy can exceed the
     8 bits of the uint8 source — matching the SV column-0 envelope
-    (values up to ~11.4).  Histogram as a one-hot contraction, not a
-    scatter-add: TPU scatters serialize per index (minutes for a 128^2
-    image through the remote runtime), while the (N, bins) one-hot reduce
-    is a single dense VPU pass."""
+    (values up to ~11.4).  Histogram via sort + searchsorted: a
+    scatter-add serializes per index on TPU (minutes for a 128^2 image
+    through the remote runtime), and the earlier (N, bins) one-hot
+    contraction was O(N*4096) FLOPs/bytes — fine at 128^2 but minutes/OOM
+    on a full-resolution frame from the inference CLIs.  The sorted-counts
+    form is O(N log N) and bit-exact (integer counts either way)."""
     idx = jnp.clip((x01 * (_BINS - 1)).astype(jnp.int32), 0, _BINS - 1)
-    hist = jax.nn.one_hot(idx.reshape(-1), _BINS,
-                          dtype=jnp.float32).sum(axis=0)
+    s = jnp.sort(idx.reshape(-1))
+    cum = jnp.searchsorted(s, jnp.arange(_BINS + 1, dtype=jnp.int32))
+    hist = (cum[1:] - cum[:-1]).astype(jnp.float32)
     p = hist / hist.sum()
     return -jnp.sum(jnp.where(p > 0, p * jnp.log2(jnp.maximum(p, 1e-12)),
                               0.0))
@@ -191,7 +195,7 @@ def btmqi(image: np.ndarray,
     if im.max() > 1.5:
         im = im / 255.0
     if im.ndim == 3:
-        im = im[..., :3] @ np.asarray([0.2126, 0.7152, 0.0722], np.float32)
+        im = im[..., :3] @ np.asarray(P.REC709, np.float32)
     f = np.asarray(btmqi_features(jnp.asarray(im)))
     if model_mat is not None:
         model = (model_mat if isinstance(model_mat, SVRModel)

@@ -33,25 +33,39 @@ MAX_IMAGES = 900
 
 def load_fid_image(path: str, fake_side: bool,
                    small_dset: bool = False) -> np.ndarray:
-    """Crop 10-px border, resize to 299^2.
+    """Crop 10-px border, PIL-BICUBIC resize to 299^2 — protocol-exact
+    (`fid_score.py:65-81`): PIL's antialiased bicubic, not cv2/torch
+    bicubic (resize-filter choice alone shifts FID by whole points).
 
-    Main protocol (`fid_score.py:65-81`, `:135-141`): fakes mean-shifted
-    toward 0.45 with alpha=0.8.  Small-dset protocol
-    (`fid_score_small_dset.py:55-119`): no fake shift; instead the REAL side
-    is min/max-stretched `((im - min) / max) * 1.05 - 0.025`, clipped."""
-    import cv2
-    im = read_ldr_image(path)
-    im = im[10:-10, 10:-10]
-    im = cv2.resize(im, (299, 299), interpolation=cv2.INTER_AREA)
+    Value pipeline follows the reference's uint8 path: real images end up
+    /255; main-protocol fakes are first stretched by their own max, then
+    mean-shifted toward 0.45 with alpha=0.8 (`fid_score.py:136-141`);
+    small-dset reals are min/max-stretched `*1.05 - 0.025` and clipped
+    (`fid_score_small_dset.py:117-119`), fakes untouched.  Returns
+    float32 (299, 299, 3) in [0, 1]."""
+    from PIL import Image
+    with Image.open(path) as pil:
+        if pil.mode not in ("RGB", "RGBA"):
+            # the reference crashes on non-RGB inputs (its `[..., :3]` on
+            # a 2-D grayscale array slices columns); convert instead
+            pil = pil.convert("RGB")
+        w, h = pil.size
+        pil = pil.crop((10, 10, w - 10, h - 10))
+        pil = pil.resize((299, 299), Image.BICUBIC)
+        im = np.asarray(pil, dtype=np.float32)[..., :3]
     if small_dset:
         if not fake_side:
-            im = ((im - im.min()) / im.max()) * 1.05 - 0.025
-            im = np.clip(im, 0.0, 1.0)
-    elif fake_side:
+            # NB the divisor is the ORIGINAL max (the reference evaluates
+            # `(im - im.min()) / im.max()` on the unshifted array)
+            im = ((im - im.min()) / (im.max() or 1.0)) * 1.05 - 0.025
+            im = np.clip(im, 0.0, 1.0) * 255.0
+        return (im / 255.0).astype(np.float32)
+    if fake_side:
+        im = im / (im.max() or 1.0)
         alpha = 0.8
         im = im + alpha * (0.45 - im.mean())
-        im = np.clip(im, 0.0, 1.0)
-    return im.astype(np.float32)
+        return np.clip(im, 0.0, 1.0).astype(np.float32)
+    return (im / 255.0).astype(np.float32)
 
 
 def activations_to_patch_vectors(acts: np.ndarray) -> np.ndarray:

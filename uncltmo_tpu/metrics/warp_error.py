@@ -51,16 +51,35 @@ def estimate_inv_flow(img0: np.ndarray, img1: np.ndarray,
     exactly this call after its internal argument renames
     (`Tester.py:450-476`: of_estim.calc(img_source, img_to_align))."""
     assert img0.dtype == np.uint8 and img1.dtype == np.uint8
+    known = ("auto", "DeepFlow", "DIS", "Farneback", "hs_jax")
+    if algo not in known:
+        # warp-error numbers are not comparable across flow backends, so
+        # an explicitly requested estimator must never be silently
+        # substituted (a typo'd 'dis' must not report Farneback numbers)
+        raise ValueError(f"unknown flow algo {algo!r}; choose from {known}")
     if algo == "hs_jax" or not _HAS_CV2:
         # fully on-device pyramidal Horn-Schunck (no cv2 dependency)
         from uncltmo_tpu.metrics.flow_jax import estimate_inv_flow_jax
         return estimate_inv_flow_jax(img0, img1)
-    if algo in ("auto", "DeepFlow") and hasattr(cv2, "optflow"):
-        est = cv2.optflow.createOptFlow_DeepFlow()
-        return est.calc(img0, img1, None)
-    if algo in ("auto", "DIS") and hasattr(cv2, "DISOpticalFlow_create"):
-        est = cv2.DISOpticalFlow_create(cv2.DISOPTICAL_FLOW_PRESET_MEDIUM)
-        return est.calc(img0, img1, None)
+    if algo in ("auto", "DeepFlow"):
+        if hasattr(cv2, "optflow"):
+            est = cv2.optflow.createOptFlow_DeepFlow()
+            return est.calc(img0, img1, None)
+        if algo == "DeepFlow":
+            raise RuntimeError(
+                "DeepFlow requested but this cv2 build has no optflow "
+                "(opencv-contrib) module; use 'DIS', 'Farneback', "
+                "'hs_jax', or 'auto'")
+    if algo in ("auto", "DIS"):
+        if hasattr(cv2, "DISOpticalFlow_create"):
+            est = cv2.DISOpticalFlow_create(
+                cv2.DISOPTICAL_FLOW_PRESET_MEDIUM)
+            return est.calc(img0, img1, None)
+        if algo == "DIS":
+            raise RuntimeError(
+                "DIS requested but this cv2 build lacks "
+                "DISOpticalFlow_create; use 'Farneback', 'hs_jax', or "
+                "'auto'")
     return cv2.calcOpticalFlowFarneback(img0, img1, None,
                                         0.5, 3, 15, 3, 5, 1.2, 0)
 

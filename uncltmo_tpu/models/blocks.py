@@ -54,6 +54,15 @@ def _maybe_norm(unet_norm: str, x: jnp.ndarray) -> jnp.ndarray:
         "published config uses it)")
 
 
+def _jnp_pad_mode(padding_mode: str) -> str:
+    """Normalize a torch-style padding-mode name for jnp.pad: the CLI
+    surface uses torch's 'zeros'/'replicate', jnp.pad wants
+    'constant'/'edge'.  ONE helper so every pad site accepts the same
+    strings (a mode accepted by Conv3x3 must not crash _pad_or_crop)."""
+    return {"zeros": "constant", "replicate": "edge"}.get(
+        padding_mode, padding_mode)
+
+
 class Conv3x3(nn.Module):
     """3x3 conv, stride 1.  `pad` in {0: valid, 1: SAME with the model's
     padding_mode} — the reference's double_conv passes padding_mode
@@ -67,9 +76,8 @@ class Conv3x3(nn.Module):
     @nn.compact
     def __call__(self, x):
         if self.pad:
-            mode = ("constant" if self.padding_mode in ("zeros", "constant")
-                    else self.padding_mode)
-            x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode=mode)
+            x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)),
+                        mode=_jnp_pad_mode(self.padding_mode))
         return nn.Conv(self.features, (3, 3), padding="VALID",
                        kernel_init=xavier_gain2)(x)
 
@@ -215,7 +223,7 @@ def _pad_or_crop(x1: jnp.ndarray, diffY: int, diffX: int,
     pads = ((0, 0), (max(0, lo_y), max(0, hi_y)),
             (max(0, lo_x), max(0, hi_x)), (0, 0))
     if any(p for pair in pads for p in pair):
-        x1 = jnp.pad(x1, pads, mode=padding_mode)
+        x1 = jnp.pad(x1, pads, mode=_jnp_pad_mode(padding_mode))
     return x1
 
 

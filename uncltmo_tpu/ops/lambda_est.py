@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from uncltmo_tpu import params as P
 from uncltmo_tpu.utils.io import HDR_EXTENSIONS, read_hdr_image
 
 
@@ -156,7 +157,7 @@ def calc_lambda(f_factor_path: str, extensions, input_images_path: str,
         if os.path.realpath(img_path) in skip_paths:
             continue
         rgb = read_hdr_image(img_path)
-        gray = rgb[..., :3] @ np.asarray([0.299, 0.587, 0.114], np.float32)
+        gray = rgb[..., :3] @ np.asarray(P.REC601, np.float32)
         if gray.min() < 0:
             gray = gray - gray.min()
         gray = reshape_image_np(gray, train_reshape=False)

@@ -118,13 +118,17 @@ class Tester:
         model-bound; passing a different generator is not supported)."""
         self.engine.update_variables({"params": params_G})
         metrics: Dict[str, float] = {}
+        renders: Optional[List[np.ndarray]] = None
         if self.video and self.test_video_path and \
                 os.path.isdir(self.test_video_path):
             tm, w1, w2 = self.eval_on_video_root(self.test_video_path)
             metrics.update(tmqi=tm, warp_e1=w1, warp_e2=w2)
             tag = f"m1st{tm}_m2nd{w1}_m3rd{w2}"
         elif self.original_hdr:
-            tm = self.eval_on_images()
+            # keep the rendered frames: the save loop below would otherwise
+            # re-run the full tiled forward over the whole eval set (the
+            # dominant device cost of the hook) a second time
+            tm, renders = self._eval_images_with_renders()
             metrics.update(tmqi=tm)
             tag = f"tmqi{tm}"
         else:
@@ -132,9 +136,10 @@ class Tester:
         result_dir = os.path.join(
             out_dir, "model_results",
             f"epoch{epoch}_iter{epoch_iter}_{tag}", "color_stretch")
-        for item in self.original_hdr:
-            out01 = self._render(item)
-            save_uint8_png(np.asarray(out01), result_dir,
+        for i, item in enumerate(self.original_hdr):
+            out01 = (renders[i] if renders is not None
+                     else np.asarray(self._render(item)))
+            save_uint8_png(out01, result_dir,
                            item["im_name"] + "_color_stretch")
         return metrics
 
@@ -153,16 +158,22 @@ class Tester:
     def eval_on_images(self) -> float:
         """Mean TMQI over the preloaded eval set
         (`TesterImg.py:310-373`)."""
-        scores = []
+        return self._eval_images_with_renders()[0]
+
+    def _eval_images_with_renders(self):
+        """(mean TMQI, per-item rendered [0,1] arrays) — one forward per
+        item, shared between the metric and the PNG dump."""
+        scores, renders = [], []
         for item in self.original_hdr:
             out01 = np.asarray(self._render(item))
+            renders.append(out01)
             h, w = item["rgb_original"].shape[:2]
             out_crop = out01[:h, :w]
             q, _, _, _, _ = tmqi(item["rgb_original"][:out_crop.shape[0],
                                                       :out_crop.shape[1]],
                                  out_crop * 255.0)
             scores.append(q)
-        return float(np.mean(scores)) if scores else 0.0
+        return (float(np.mean(scores)) if scores else 0.0), renders
 
     def _baseline_flow_pair(self, scene: str, names: List[str]):
         """L1L0-baseline renders of the scene's first two frames, used as

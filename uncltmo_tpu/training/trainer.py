@@ -148,6 +148,11 @@ class GanTrainer:
         self._base_rng = jax.random.PRNGKey(opt.manual_seed + 1)
         self._resume_iter = 0
         self._resumed = False
+        # one jitted forward for the sample grids: `jax.jit(self.gen.apply)`
+        # inside the hook would wrap a FRESH bound method every call and
+        # recompile at every 1/4-epoch summary (~80 needless compiles over
+        # a 21-epoch run on the remote backend)
+        self._grid_fwd = jax.jit(self.gen.apply)
         if opt.compute_dtype == "bfloat16":
             # fast-matmul training: conv/matmul inputs truncated to bf16
             jax.config.update("jax_default_matmul_precision", "bfloat16")
@@ -395,8 +400,7 @@ class GanTrainer:
         if self.opt.manual_d_training:
             batch = self._maybe_add_weight_channel(batch, pretrain=False)
         hdr = jnp.asarray(batch["hdr"][:, 0])
-        fake, _ = jax.jit(self.gen.apply)(
-            {"params": self._generator_params()}, hdr)
+        fake, _ = self._grid_fwd({"params": self.state.params_G}, hdr)
         images, titles = [], []
         for i in range(hdr.shape[0]):
             images += [np.asarray(hdr[i][..., :1]), np.asarray(fake[i]),
