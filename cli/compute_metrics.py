@@ -161,6 +161,23 @@ def cmd_btmqi(args):
         print(f"{f}: {s:.4f}")
     if scores:
         print(f"mean {label}: {np.mean(list(scores.values())):.4f}")
+        if args.mos:
+            # |Spearman rank correlation| vs a {filename: MOS} JSON — the
+            # reference's BTMQI validation protocol
+            # (`metrics/BTMQI_metric/result.m:5-7`)
+            from scipy.stats import spearmanr
+            with open(args.mos) as fh:
+                mos = json.load(fh)
+            common = sorted(set(scores) & set(mos))
+            if len(common) < 2:
+                raise SystemExit(
+                    f"--mos: only {len(common)} filenames overlap between "
+                    "the scored images and the MOS table")
+            rho = abs(spearmanr([scores[k] for k in common],
+                                [float(mos[k]) for k in common]).statistic)
+            print(f"|spearman(BTMQI, MOS)| over {len(common)} images: "
+                  f"{rho:.4f}")
+            scores = {"scores": scores, "spearman_abs": rho}
         _save(args.output, scores)
 
 
@@ -228,6 +245,9 @@ def main(argv=None):
                         "reference's actual SVR on the reconstructed "
                         "features (published score scale) instead of the "
                         "surrogate combination")
+    b.add_argument("--mos", default="",
+                   help="{filename: MOS} JSON; prints |Spearman| of BTMQI "
+                        "vs MOS (`metrics/BTMQI_metric/result.m`)")
     b.add_argument("--output", default="")
     args = p.parse_args(argv)
     {"tmqi": cmd_tmqi, "warp": cmd_warp, "fid": cmd_fid,

@@ -97,12 +97,29 @@ def mode_mean_hist(args):
     print(f"saved mean histogram of {len(hists)} images to {args.output}")
 
 
+def mode_show(args):
+    """Print a saved `.npy` artifact (lambda dict or mean-histogram) —
+    the reference's inspection helper
+    (`activate_trained_model/lambda_data/read_npy.py:1-6`)."""
+    data = np.load(args.npy, allow_pickle=True)
+    if data.dtype == object and data.shape == ():
+        data = data[()]
+    if isinstance(data, dict):
+        for k in sorted(data, key=str):
+            print(f"{k}: {data[k]}")
+        print(f"({len(data)} entries)")
+    else:
+        print(data)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--mode", choices=["lambdas", "scene_lambdas",
-                                      "mean_hist"], required=True)
-    p.add_argument("--input_dir", required=True)
-    p.add_argument("--output", required=True)
+                                      "mean_hist", "show"], required=True)
+    p.add_argument("--input_dir", default="")
+    p.add_argument("--npy", default="",
+                   help="mode=show: the .npy artifact to print")
+    p.add_argument("--output", default="")
     p.add_argument("--mean_hist_path", default="")
     p.add_argument("--bins", type=int, default=20)
     p.add_argument("--max_images", type=int, default=900)
@@ -112,6 +129,13 @@ def main(argv=None):
                         "evolution (`adaptive_lambda.py:59-60`), exact "
                         "but ~100x slower")
     args = p.parse_args(argv)
+    if args.mode == "show":
+        if not args.npy:
+            p.error("--mode show requires --npy")
+        mode_show(args)
+        return
+    if not args.input_dir or not args.output:
+        p.error(f"--mode {args.mode} requires --input_dir and --output")
     if args.mode == "mean_hist":
         mode_mean_hist(args)
     else:

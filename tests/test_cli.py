@@ -132,6 +132,63 @@ def test_compute_metrics_tmqi_pair(tmp_path, capsys):
         compute_metrics.main(["tmqi"])
 
 
+def test_prepare_lambdas_show_mode(tmp_path, capsys):
+    """`--mode show` prints a saved lambda dict / mean-hist npy — the
+    reference's `activate_trained_model/lambda_data/read_npy.py`."""
+    prepare_lambdas = _import_cli("prepare_lambdas")
+    dict_path = str(tmp_path / "lams.npy")
+    np.save(dict_path, {"belgium": 4000.0, "arches": 120.5})
+    prepare_lambdas.main(["--mode", "show", "--npy", dict_path])
+    out = capsys.readouterr().out
+    assert "belgium: 4000.0" in out and "arches: 120.5" in out
+    assert "(2 entries)" in out
+    # plain-array artifacts print too (the mean-hist file)
+    arr_path = str(tmp_path / "hist.npy")
+    np.save(arr_path, np.arange(3.0))
+    prepare_lambdas.main(["--mode", "show", "--npy", arr_path])
+    assert "[0. 1. 2.]" in capsys.readouterr().out
+    with pytest.raises(SystemExit):
+        prepare_lambdas.main(["--mode", "show"])  # --npy required
+    with pytest.raises(SystemExit):
+        prepare_lambdas.main(["--mode", "lambdas", "--npy", dict_path])
+
+
+def test_compute_metrics_btmqi_mos_spearman(tmp_path, capsys):
+    """btmqi --mos prints |Spearman(BTMQI, MOS)| over the filename
+    intersection (`metrics/BTMQI_metric/result.m:5-7` protocol)."""
+    import json
+    compute_metrics = _import_cli("compute_metrics")
+    ldr_dir = tmp_path / "ldr"
+    _write_pngs(str(ldr_dir), n=4, seed=5)
+    # score once without MOS to learn the per-file BTMQI ordering
+    out = str(tmp_path / "scores.json")
+    compute_metrics.main(["btmqi", "--ldr_dir", str(ldr_dir),
+                          "--output", out])
+    capsys.readouterr()
+    base = json.load(open(out))
+    # MOS perfectly rank-aligned with the scores -> |rho| == 1
+    mos_path = str(tmp_path / "mos.json")
+    json.dump({k: v for k, v in base.items()}, open(mos_path, "w"))
+    out2 = str(tmp_path / "scores_mos.json")
+    compute_metrics.main(["btmqi", "--ldr_dir", str(ldr_dir),
+                          "--mos", mos_path, "--output", out2])
+    printed = capsys.readouterr().out
+    assert "|spearman(BTMQI, MOS)| over 4 images" in printed
+    saved = json.load(open(out2))
+    assert saved["spearman_abs"] == pytest.approx(1.0)
+    assert saved["scores"] == base
+    # anti-aligned MOS -> still 1 through the abs() (result.m uses abs)
+    json.dump({k: -v for k, v in base.items()}, open(mos_path, "w"))
+    compute_metrics.main(["btmqi", "--ldr_dir", str(ldr_dir),
+                          "--mos", mos_path])
+    capsys.readouterr()
+    # <2 overlapping names errors loudly instead of printing NaN
+    json.dump({"nothing.png": 1.0}, open(mos_path, "w"))
+    with pytest.raises(SystemExit, match="overlap"):
+        compute_metrics.main(["btmqi", "--ldr_dir", str(ldr_dir),
+                              "--mos", mos_path])
+
+
 def test_main_train_image_cli_end_to_end(tmp_path):
     """The TRAINING CLI surface itself (`main_train_image.py` ->
     config.get_opt -> GanTrainer.train): argv parsing, directory tree,
