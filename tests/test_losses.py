@@ -99,6 +99,62 @@ def test_nce_matches_direct(rng):
     assert mine == pytest.approx(ce, rel=1e-4)
 
 
+def test_lmcl_loss_matches_reference_torch(rng):
+    """LMCL (`GanTrainer.py:441-451`): -log(exp(pos)/sum_j exp(neg_j)),
+    positive NOT in the denominator.  Oracle is the reference formula
+    computed in torch exactly as lmcl_loss does (exp/ratio/log form)."""
+    torch = pytest.importorskip("torch")
+    b, kneg = 5, 3
+    pos = rng.standard_normal((b, 1)).astype(np.float32)
+    negs = rng.standard_normal((b, kneg)).astype(np.float32)
+    pt, nt = torch.tensor(pos), torch.tensor(negs)
+    ref = float(-torch.log(pt.exp()
+                           / nt.exp().sum(dim=1, keepdim=True)).mean())
+    mine = float(adv.lmcl_loss(jnp.asarray(pos[:, 0]), jnp.asarray(negs)))
+    assert mine == pytest.approx(ref, rel=1e-5)
+
+
+def test_nce_lmcl_variant(rng):
+    """nce(loss_type='LMCL') must equal mean(neg_sim - pos_sim) for the
+    single-negative case (lmcl's denominator holds only the negative)."""
+    a = rng.random((4, 1, 1, 2)).astype(np.float32)
+    p = rng.random((4, 1, 1, 2)).astype(np.float32)
+    n = rng.random((4, 1, 1, 2)).astype(np.float32)
+    k, c = 1.0, 1e-2
+
+    def sim(x, y):
+        s = (x * y / (c + k * np.abs(x - y))).sum(-1)
+        return s.mean((1, 2))
+
+    ref = float(np.mean(sim(a, n) - sim(a, p)))
+    mine = float(adv.nce(jnp.asarray(a), jnp.asarray(p), jnp.asarray(n),
+                         k, c, loss_type="LMCL"))
+    assert mine == pytest.approx(ref, rel=1e-4)
+    with pytest.raises(ValueError):
+        adv.nce(jnp.asarray(a), jnp.asarray(p), jnp.asarray(n), k, c,
+                loss_type="typo")
+
+
+def test_generator_loss_terms_lmcl_runs(rng):
+    """The full stage-0 G loss mix is finite (and distinct from InfoNCE)
+    under cl_loss_type='LMCL'."""
+    from uncltmo_tpu.training.train_step import (LossConfig,
+                                                 generator_loss_terms)
+    b = 3
+    fake = rng.random((b, 64, 64, 1)).astype(np.float32)
+    fea = rng.random((b, 1, 1, 8)).astype(np.float32)
+    d_logit = rng.standard_normal((b, 1)).astype(np.float32)
+    d_fea = rng.random((b, 4, 4, 8)).astype(np.float32)
+    ldr = rng.random((b, 64, 64, 1)).astype(np.float32)
+    args = (jnp.asarray(fake), jnp.asarray(fea), jnp.asarray(d_logit),
+            jnp.asarray(d_logit), jnp.asarray(d_fea), jnp.asarray(d_fea * 2),
+            jnp.asarray(d_fea * 3), jnp.asarray(d_fea * 4), jnp.asarray(ldr))
+    vals = {t: float(generator_loss_terms(
+        0, LossConfig(cl_loss_type=t), *args)) for t in ("InfoNCE", "LMCL")}
+    assert np.isfinite(vals["LMCL"])
+    assert vals["LMCL"] != vals["InfoNCE"]
+
+
 def test_tv_loss_matches_direct(rng):
     x = rng.random((2, 8, 9, 1)).astype(np.float32)
     h_tv = np.square(x[:, 1:] - x[:, :-1]).sum()

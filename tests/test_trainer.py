@@ -132,6 +132,16 @@ def test_trainer_manual_d_training_slider(tmp_path):
     assert np.all(batch["hdr"][..., 1] == batch["hdr"][0, 0, 0, 0, 1])
     trainer.train()
     assert int(trainer.state.step) == 1
+    # the sample grid's weight channel draws from its own derived stream
+    # (3): at the same num_iter it must not replay the training batch's
+    # weight (stream 2), and both streams stay resume-deterministic
+    z = {"hdr": np.zeros((1, 2, 112, 112, 1), np.float32)}
+    w_train = trainer._maybe_add_weight_channel(z, False)["hdr"][0, 0, 0, 0, 1]
+    w_grid = trainer._maybe_add_weight_channel(
+        z, False, stream=3)["hdr"][0, 0, 0, 0, 1]
+    assert w_train != w_grid
+    assert w_grid == trainer._maybe_add_weight_channel(
+        z, False, stream=3)["hdr"][0, 0, 0, 0, 1]
 
 
 def test_video_trainer_one_epoch(tmp_path):

@@ -123,6 +123,11 @@ class Options:
     # loudly; FID never runs on random weights.
     inception_weights: str = "none"
     # ====== TPU-NATIVE EXTRAS (not in the reference CLI) ======
+    cl_loss_type: str = "InfoNCE"      # contrastive flavor for nce/infoNCE2:
+                                       # InfoNCE (published; the reference
+                                       # hardcodes it at every call site,
+                                       # `GanTrainer.py:304-318`) or LMCL
+                                       # (`GanTrainer.py:441-451`)
     compute_dtype: str = "float32"     # "bfloat16" for fastest training
     data_parallel: int = 0             # devices for batch sharding; 0=auto
                                        # (all devices when batch divides),

@@ -41,18 +41,34 @@ def _similarity(a: jnp.ndarray, b: jnp.ndarray, k: float,
     return jnp.mean(s, axis=(1, 2))
 
 
+def lmcl_loss(pos: jnp.ndarray, negs: jnp.ndarray) -> jnp.ndarray:
+    """Large-margin cosine-style contrastive loss (`GanTrainer.py:441-451`):
+    -log(exp(pos) / sum_j exp(neg_j)), mean over the batch.  Unlike InfoNCE
+    the positive is NOT in the denominator.  pos: (B,), negs: (B, K).
+    Computed as logsumexp(negs) - pos (exactly the reference's value,
+    without its exp overflow)."""
+    return jnp.mean(jax.nn.logsumexp(negs, axis=1) - pos)
+
+
 def nce(fea_anchor: jnp.ndarray, fea_positive: jnp.ndarray,
-        fea_negative: jnp.ndarray, k: float, c: float) -> jnp.ndarray:
-    """InfoNCE over one positive and one negative similarity
-    (`GanTrainer.py:411-440`)."""
+        fea_negative: jnp.ndarray, k: float, c: float,
+        loss_type: str = "InfoNCE") -> jnp.ndarray:
+    """Contrastive loss over one positive and one negative similarity
+    (`GanTrainer.py:411-440`).  loss_type selects InfoNCE (published; all
+    reference call sites hardcode it) or LMCL (`GanTrainer.py:434-436`)."""
     pos = _similarity(fea_anchor, fea_positive, k, c)
     neg = _similarity(fea_anchor, fea_negative, k, c)
+    if loss_type == "LMCL":
+        return lmcl_loss(pos, neg[:, None])
+    if loss_type != "InfoNCE":
+        raise ValueError(f"unknown cl_loss_type {loss_type!r} "
+                         "(InfoNCE or LMCL)")
     logits = jnp.stack([pos, neg], axis=1)
     return jnp.mean(jax.nn.logsumexp(logits, axis=1) - pos)
 
 
 def info_nce2(fea_fake: jnp.ndarray, fake: jnp.ndarray, k: float,
-              c: float) -> jnp.ndarray:
+              c: float, loss_type: str = "InfoNCE") -> jnp.ndarray:
     """TMQI-naturalness-ranked in-batch contrastive (`GanTrainer.py:385-409`).
 
     The best-N sample's features are the positive, the worst-N the negative.
@@ -66,7 +82,7 @@ def info_nce2(fea_fake: jnp.ndarray, fake: jnp.ndarray, k: float,
     b = fea_fake.shape[0]
     fea_pos = jnp.broadcast_to(fea_fake[i_best][None], fea_fake.shape)
     fea_neg = jnp.broadcast_to(fea_fake[i_worst][None], fea_fake.shape)
-    return nce(fea_fake, fea_pos, fea_neg, k, c)
+    return nce(fea_fake, fea_pos, fea_neg, k, c, loss_type)
 
 
 def _spatial_mean(x: jnp.ndarray) -> jnp.ndarray:

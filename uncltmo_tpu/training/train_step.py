@@ -37,6 +37,11 @@ class LossConfig:
     ssim_window_size: int = 5
     video: bool = False              # video G: 5-D input + feature head
     train_with_D: bool = True
+    # contrastive-loss flavor for the nce/infoNCE2 terms.  Every reference
+    # call site hardcodes 'InfoNCE' (`GanTrainer.py:304-318`); 'LMCL'
+    # (`GanTrainer.py:441-451`) is its implemented-but-unreachable
+    # alternative, selectable here.
+    cl_loss_type: str = "InfoNCE"
 
 
 def _flatten_frames(x: jnp.ndarray) -> jnp.ndarray:
@@ -51,23 +56,28 @@ def generator_loss_terms(stage: int, cfg: LossConfig, fake, fea_fake,
     """The stage-dependent adversarial/contrastive G loss
     (`GanTrainer.py:301-332`)."""
     gd = cfg.loss_g_d_factor
+    clt = cfg.cl_loss_type
     if stage == 0:
         err = gd * adv.contrastive_d_loss(d_fake_bp, d_real_pos_bp)
         err += gd * 0.5 * adv.nce(d_fea_fake, d_fea_real_pos, d_fea_input,
-                                  k=1.0, c=1e-2)
+                                  k=1.0, c=1e-2, loss_type=clt)
         err += gd * 0.5 * (0.2 * adv.nce(d_fea_fake, d_fea_real_pos,
-                                         d_fea_real_neg, k=1e3, c=2.0))
-        err += gd * 1e-6 * adv.info_nce2(fea_fake, fake, k=1.0, c=1e-2)
+                                         d_fea_real_neg, k=1e3, c=2.0,
+                                         loss_type=clt))
+        err += gd * 1e-6 * adv.info_nce2(fea_fake, fake, k=1.0, c=1e-2,
+                                         loss_type=clt)
         err += gd * 1e-6 * adv.mean_brightness_l1(fake, ldr_pos)
         err += gd * 1e-6 * adv.mean_contrast_l1(fake, ldr_pos)
         err += gd * 1e-6 * adv.pseudo_label_loss(fake)
     elif stage == 1:
         err = gd * 1e-6 * adv.contrastive_d_loss(d_fake_bp, d_real_pos_bp)
         err += gd * 0.5 * adv.nce(d_fea_fake, d_fea_real_pos, d_fea_input,
-                                  k=1.0, c=1e-2)
+                                  k=1.0, c=1e-2, loss_type=clt)
         err += gd * 0.5 * (0.2 * adv.nce(d_fea_fake, d_fea_real_pos,
-                                         d_fea_real_neg, k=1e3, c=2.0))
-        err += gd * 0.1 * (5.0 * adv.info_nce2(fea_fake, fake, k=1.0, c=1e-2))
+                                         d_fea_real_neg, k=1e3, c=2.0,
+                                         loss_type=clt))
+        err += gd * 0.1 * (5.0 * adv.info_nce2(fea_fake, fake, k=1.0, c=1e-2,
+                                               loss_type=clt))
         err += gd * 0.5 * (1e2 * adv.mean_brightness_l1(fake, ldr_pos))
         err += gd * 0.5 * (2.0 * adv.mean_contrast_l1(fake, ldr_pos))
         err += gd * 1e-6 * adv.pseudo_label_loss(fake)

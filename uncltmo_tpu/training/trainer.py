@@ -107,7 +107,8 @@ class GanTrainer:
             adv_weight=float(weight_list(opt.adv_weight_list)[0]),
             ssim_window_size=opt.ssim_window_size,
             video=video,
-            train_with_D=bool(opt.train_with_D))
+            train_with_D=bool(opt.train_with_D),
+            cl_loss_type=str(getattr(opt, "cl_loss_type", "InfoNCE")))
         self.train_step = make_train_step(self.gen, self.disc, self.cfg)
 
         # ---- params init (xavier gain sqrt(2), `model_save_util.py:41-47`)
@@ -328,11 +329,14 @@ class GanTrainer:
                 self.print_epoch_summary(epoch, it, logs)
 
     def _maybe_add_weight_channel(self, batch, pretrain: bool,
-                                  num_iter: Optional[int] = None):
+                                  num_iter: Optional[int] = None,
+                                  stream: int = 2):
         """Slider (manual_d_training) mode: append a constant weight channel
         to the HDR input, re-sampled U(0,1) per iteration unless
         d_weight_mul_mode == 'single' (`GanTrainer.py:177-178, 293-299`).
-        The losses and struct target consume channel 0 only."""
+        The losses and struct target consume channel 0 only.  `stream`
+        separates the train draws (2, the default) from the sample-grid
+        draws (3) so the grid never replays a training iteration's weight."""
         if not self.opt.manual_d_training or pretrain:
             return batch
         # derived per-iteration (not a sequential stream) so a mid-epoch
@@ -342,7 +346,7 @@ class GanTrainer:
             num_iter = self.num_iter
         w = (1.0 if self.opt.d_weight_mul_mode == "single"
              else float(np.random.default_rng(
-                 (self.opt.manual_seed + 2, num_iter)).random()))
+                 (self.opt.manual_seed + stream, num_iter)).random()))
         hdr = batch["hdr"]
         wc = np.full_like(hdr, w)
         return dict(batch, hdr=np.concatenate([hdr, wc], axis=-1))
@@ -398,7 +402,11 @@ class GanTrainer:
         items = [self.pipeline.source.sample(rng) for _ in range(2)]
         batch = {k: np.stack([it[k] for it in items]) for k in items[0]}
         if self.opt.manual_d_training:
-            batch = self._maybe_add_weight_channel(batch, pretrain=False)
+            # the grid's own derived stream (3), keyed on the hook's
+            # iteration — it must not replay the weight the training batch
+            # at num_iter drew from stream 2
+            batch = self._maybe_add_weight_channel(batch, pretrain=False,
+                                                   stream=3)
         hdr = jnp.asarray(batch["hdr"][:, 0])
         fake, _ = self._grid_fwd({"params": self.state.params_G}, hdr)
         images, titles = [], []
