@@ -35,6 +35,11 @@ sys.path.insert(0, REPO)
 
 H, W = 1080, 1920
 PAD_H, PAD_W = 1088, 1936            # 16k+16 pad (`data_loader_util.py:145`)
+# full-resolution protocol leg (HDRI Haven / LVZ-HDR run full-res with
+# overlap 192, `utils/model_save_util.py:303-304`, README.md:38): 4K frame,
+# 16k+16-padded; ~1.8k tiles/frame through the streamed engine path
+FULL_H, FULL_W = 2160, 3840
+FULL_PAD_H, FULL_PAD_W = 2176, 3856
 BASELINE_CACHE = os.path.join(REPO, ".bench_baseline.json")
 WARMUP = 2
 FRAMES_PER_CALL = 10                 # amortize the remote dispatch RTT
@@ -103,6 +108,62 @@ def measure_tpu_fps() -> float:
         float(s)
     dt = time.perf_counter() - t0
     return CALLS * FRAMES_PER_CALL / dt
+
+
+def measure_fullres(frames_per_call: int = 2, calls: int = 2) -> dict:
+    """Full-resolution protocol leg: 4K frames, 256-px tiles, 192-px
+    overlap (`model_save_util.py:303-304`) — ~1.8k tiles/frame, streamed
+    scan-over-chunks engine path.  Returns fps + first-compile seconds +
+    device memory (when the runtime exposes stats)."""
+    import jax
+    import jax.numpy as jnp
+    from uncltmo_tpu.inference.engine import TileEngine
+    from uncltmo_tpu.models.unet import UNetTMO
+    from uncltmo_tpu.ops import color
+
+    model = UNetTMO(fast_upsample=True)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                    jnp.zeros((1, 256, 256, 1)))
+    engine = TileEngine(model, variables, tile=256, overlap=192,
+                        chunk=60, dtype=jnp.bfloat16)
+    n_tiles = engine._n_tiles(FULL_PAD_H, FULL_PAD_W)
+
+    rng = np.random.default_rng(4)
+    batches = [jnp.asarray(
+        rng.random((frames_per_call, FULL_PAD_H, FULL_PAD_W, 1), np.float32))
+        for _ in range(2)]
+
+    def post(frame_out):
+        out = color.percentile_clamp_stretch(frame_out, 0.5, 99.5)
+        return jnp.sum(out)
+
+    def run(batch):
+        return jnp.sum(engine.run_images(batch, post_fn=post,
+                                         frames_per_step=1))
+
+    t0 = time.perf_counter()
+    float(run(batches[0]))                       # compile + first exec
+    compile_s = time.perf_counter() - t0
+    float(run(batches[1]))                       # warm second call
+    pending = []
+    t0 = time.perf_counter()
+    for i in range(calls):
+        pending.append(run(batches[i % 2]))
+        if len(pending) >= 2:
+            float(pending.pop(0))
+    for s in pending:
+        float(s)
+    fps = calls * frames_per_call / (time.perf_counter() - t0)
+    out = {"fps": round(fps, 3), "tiles_per_frame": int(n_tiles),
+           "first_call_s": round(compile_s, 1)}
+    try:
+        stats = jax.devices()[0].memory_stats() or {}
+        if "peak_bytes_in_use" in stats:
+            out["peak_device_mb"] = round(
+                stats["peak_bytes_in_use"] / 2**20, 1)
+    except Exception:
+        pass
+    return out
 
 
 def measure_video_fps(frames: int = 6, scenes_per_call: int = 2) -> float:
@@ -304,6 +365,7 @@ def main():
         sys.exit(1)
     fps = measure_tpu_fps()
     video_fps = measure_video_fps()
+    fullres = measure_fullres()
     train_ms = measure_train_ms_per_step()
     sustained_sps = measure_sustained_train_sps()
     baseline = get_baseline_fps()
@@ -315,6 +377,9 @@ def main():
         "vs_baseline": round(fps / baseline, 2) if baseline > 0 else None,
         # secondary headline numbers (BASELINE.md benchmark configs)
         "video_fps_1080p_6frame": round(video_fps, 3),
+        # full-resolution protocol leg (4K, 256/192 tiling — the HDRI
+        # Haven / LVZ-HDR eval config, `model_save_util.py:303-304`)
+        "fullres_4k_ov192": fullres,
         "train_ms_per_step_b8_256": round(train_ms, 2),
         # wall-clock training throughput with the host pipeline overlapped
         # (device bound = 1000 / train_ms_per_step)

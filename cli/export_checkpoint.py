@@ -32,6 +32,9 @@ def main(argv=None):
     tree = ckpt.load_params(args.checkpoint)
     params_G = tree.get("params_G", tree.get("params", tree))
     params_D = tree.get("params_D")
+    # batch_norm checkpoints carry running stats (stats_G in training
+    # checkpoints, batch_stats in bare-variables files)
+    stats_G = tree.get("stats_G") or tree.get("batch_stats") or None
     epoch = args.epoch
     if epoch < 0:
         epoch = int(tree.get("epoch", 0))
@@ -42,7 +45,7 @@ def main(argv=None):
                 epoch = int(json.load(f).get("epoch", epoch))
     os.makedirs(os.path.dirname(args.output) or ".", exist_ok=True)
     save_reference_checkpoint(args.output, params_G, params_D, epoch=epoch,
-                              depth=args.unet_depth)
+                              depth=args.unet_depth, stats_G=stats_G)
     print(f"exported {args.checkpoint} -> {args.output} (epoch {epoch})")
 
 

@@ -192,6 +192,31 @@ def test_discriminator_factory_all_reference_variants(d_model, rng):
         assert out.shape[0] == 2                # score map / logit
 
 
+@pytest.mark.parametrize("d_model", ["patchD", "original"])
+def test_discriminator_batch_norm_variants(d_model, rng):
+    """patchD's reference-default batch_norm (`Discriminator.py:137`) and
+    the DCGAN variant build with running stats and forward in both modes
+    (train applies need mutable batch_stats and update the running mean)."""
+    import jax
+    import jax.numpy as jnp
+    from uncltmo_tpu.config import Options
+    from uncltmo_tpu.models.discriminator import make_discriminator
+
+    opt = Options(d_model=d_model, d_down_dim=8, d_nlayers=2,
+                  d_norm="batch_norm")
+    d = make_discriminator(opt)
+    x = jnp.asarray(rng.random((2, 256, 256, 1)).astype(np.float32))
+    variables = jax.jit(d.init)(jax.random.PRNGKey(0), x)
+    assert "batch_stats" in variables
+    out = d.apply(variables, x)                       # eval: running stats
+    assert np.all(np.isfinite(np.asarray(out)))
+    out_t, upd = d.apply(variables, x, train=True, mutable=["batch_stats"])
+    assert np.all(np.isfinite(np.asarray(out_t)))
+    before = jax.tree_util.tree_leaves(variables["batch_stats"])
+    after = jax.tree_util.tree_leaves(upd["batch_stats"])
+    assert any(not np.allclose(a, b) for a, b in zip(before, after))
+
+
 def test_discriminator_factory_rejects_unknown():
     from uncltmo_tpu.config import Options
     from uncltmo_tpu.models.discriminator import make_discriminator

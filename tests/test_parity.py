@@ -171,3 +171,128 @@ def test_export_generator_into_reference(tmp_path):
     np.testing.assert_allclose(
         np.asarray(out), ref_out.numpy().transpose(0, 2, 3, 1),
         rtol=1e-4, atol=2e-5)
+
+
+# ----------------------------------------------------------------------
+# batch_norm (`unet_parts.py:19-24`, reference flag --unet_norm batch_norm)
+# ----------------------------------------------------------------------
+def _randomize_bn_buffers(net, seed=7):
+    """Running stats are buffers, untouched by _randomize — give them
+    non-default values so eval-mode parity actually exercises them."""
+    g = torch.Generator().manual_seed(seed)
+    with torch.no_grad():
+        for name, b in net.named_buffers():
+            if name.endswith("running_mean"):
+                b.copy_(torch.randn(b.shape, generator=g) * 0.1)
+            elif name.endswith("running_var"):
+                b.copy_(0.5 + torch.rand(b.shape, generator=g))
+    return net
+
+
+def test_generator_parity_image_batch_norm():
+    """unet_norm='batch_norm' eval parity: reference torch UNet with random
+    affine params AND random running stats vs the converted Flax model."""
+    ref = _randomize(reference_shim.build_reference_unet(
+        video=False, unet_norm="batch_norm"), seed=21)
+    _randomize_bn_buffers(ref)
+    sd = {k: v.numpy() for k, v in ref.state_dict().items()}
+    stats = {}
+    params_g = convert_generator(sd, stats=stats)
+    assert stats, "batch_norm checkpoint must yield running stats"
+    model = UNetTMO(unet_norm="batch_norm")
+
+    rng = np.random.default_rng(21)
+    x = rng.random((2, 256, 256, 1)).astype(np.float32)
+    with torch.no_grad():
+        ref_out, _ = ref(torch.tensor(x.transpose(0, 3, 1, 2)))
+    out, _ = jax.jit(model.apply)(
+        {"params": params_g, "batch_stats": stats}, jnp.asarray(x))
+    np.testing.assert_allclose(
+        np.asarray(out), ref_out.numpy().transpose(0, 2, 3, 1),
+        rtol=1e-4, atol=3e-5)
+
+
+def test_torch_batchnorm_train_semantics():
+    """TorchBatchNorm in train mode must match torch BatchNorm2d exactly:
+    normalize by the biased batch variance, update the running variance
+    with the UNBIASED one at momentum 0.1, over multiple steps."""
+    from uncltmo_tpu.models.blocks import TorchBatchNorm
+
+    rng = np.random.default_rng(3)
+    c = 5
+    tb = torch.nn.BatchNorm2d(c)
+    with torch.no_grad():
+        tb.weight.copy_(torch.tensor(
+            rng.standard_normal(c).astype(np.float32)))
+        tb.bias.copy_(torch.tensor(
+            rng.standard_normal(c).astype(np.float32)))
+    tb.train()
+
+    mod = TorchBatchNorm()
+    variables = mod.init(jax.random.PRNGKey(0),
+                         jnp.zeros((2, 4, 4, c)), use_running_average=False)
+    variables = {
+        "params": {"scale": jnp.asarray(tb.weight.detach().numpy()),
+                   "bias": jnp.asarray(tb.bias.detach().numpy())},
+        "batch_stats": variables["batch_stats"]}
+
+    for step in range(3):
+        x = rng.random((2, 6, 7, c)).astype(np.float32)
+        with torch.no_grad():
+            ref_y = tb(torch.tensor(x.transpose(0, 3, 1, 2)))
+        y, upd = mod.apply(variables, jnp.asarray(x),
+                           use_running_average=False,
+                           mutable=["batch_stats"])
+        variables = {"params": variables["params"],
+                     "batch_stats": upd["batch_stats"]}
+        np.testing.assert_allclose(
+            np.asarray(y), ref_y.numpy().transpose(0, 2, 3, 1),
+            rtol=1e-4, atol=1e-5, err_msg=f"train output, step {step}")
+    np.testing.assert_allclose(
+        np.asarray(variables["batch_stats"]["mean"]),
+        tb.running_mean.numpy(), rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(variables["batch_stats"]["var"]),
+        tb.running_var.numpy(), rtol=1e-4, atol=1e-6)
+    # eval mode then uses the accumulated running stats
+    x = rng.random((2, 6, 7, c)).astype(np.float32)
+    tb.eval()
+    with torch.no_grad():
+        ref_y = tb(torch.tensor(x.transpose(0, 3, 1, 2)))
+    y = mod.apply(variables, jnp.asarray(x), use_running_average=True)
+    np.testing.assert_allclose(
+        np.asarray(y), ref_y.numpy().transpose(0, 2, 3, 1),
+        rtol=1e-4, atol=1e-5)
+
+
+def test_export_batch_norm_into_reference(tmp_path):
+    """A Flax batch_norm generator exports to a .pth the reference loads
+    strict=True (incl. running stats) and reproduces in eval mode."""
+    from uncltmo_tpu.utils.export_torch import save_reference_checkpoint
+
+    model = UNetTMO(unet_norm="batch_norm")
+    variables = jax.jit(model.init)(jax.random.PRNGKey(31),
+                                    jnp.zeros((1, 256, 256, 1)))
+    params = jax.tree_util.tree_map(np.asarray, variables["params"])
+    stats = jax.tree_util.tree_map(np.asarray, variables["batch_stats"])
+    # non-default running stats so the export path is actually exercised
+    stats = jax.tree_util.tree_map(
+        lambda a: a + 0.25 if a.ndim else a, stats)
+
+    pth = str(tmp_path / "net_epoch1_iter1.pth")
+    save_reference_checkpoint(pth, params, epoch=1, stats_G=stats)
+    ref = reference_shim.build_reference_unet(video=False,
+                                              unet_norm="batch_norm")
+    ckpt = torch.load(pth, map_location="cpu", weights_only=False)
+    ref.load_state_dict(ckpt["modelG_state_dict"], strict=True)
+    ref.eval()
+
+    rng = np.random.default_rng(33)
+    x = rng.random((1, 256, 256, 1)).astype(np.float32)
+    with torch.no_grad():
+        ref_out, _ = ref(torch.tensor(x.transpose(0, 3, 1, 2)))
+    out, _ = jax.jit(model.apply)(
+        {"params": params, "batch_stats": stats}, jnp.asarray(x))
+    np.testing.assert_allclose(
+        np.asarray(out), ref_out.numpy().transpose(0, 2, 3, 1),
+        rtol=1e-4, atol=3e-5)

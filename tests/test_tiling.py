@@ -95,3 +95,68 @@ def test_engine_identity_model():
         np.random.default_rng(0).random((464, 720, 1)).astype(np.float32))
     out = eng.run_image(img)
     np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=1e-5)
+
+
+def test_engine_streamed_large_plan_identity():
+    """>=300-tile plan end to end: past STREAM_TILE_THRESHOLD run_image
+    switches to the scan-over-chunks path (traced origins, separable
+    weights, canvas accumulation).  With a x2 stand-in generator the
+    partition-of-unity blend must return exactly 2*input, on a plan the
+    size of the full-resolution protocol leg's."""
+    import jax
+    import jax.numpy as jnp
+    import flax.linen as nn
+    from uncltmo_tpu.inference import engine as eng_mod
+    from uncltmo_tpu.inference.engine import TileEngine
+
+    class TwoX(nn.Module):
+        @nn.compact
+        def __call__(self, x, **kw):
+            return 2.0 * x[..., :1], x
+
+    model = TwoX()
+    tile, overlap = 32, 24                     # stride 8, like 256/192
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, tile, tile, 1)))
+    eng = TileEngine(model, variables, tile=tile, overlap=overlap, chunk=16)
+    h = w = tile + 19 * (tile - overlap)       # 20x20 = 400 tiles
+    assert eng._n_tiles(h, w) == 400 > eng_mod.STREAM_TILE_THRESHOLD
+    img = jnp.asarray(
+        np.random.default_rng(1).random((h, w, 1)).astype(np.float32))
+    out = eng.run_image(img)
+    np.testing.assert_allclose(np.asarray(out), 2 * np.asarray(img),
+                               atol=1e-5)
+    # the multi-frame surface takes the same streamed path per frame
+    frames = jnp.stack([img, img * 0.5])
+    outs = eng.run_images(frames, frames_per_step=2)
+    np.testing.assert_allclose(np.asarray(outs[0]), 2 * np.asarray(img),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(outs[1]), np.asarray(img),
+                               atol=1e-5)
+
+
+def test_engine_streamed_matches_unrolled_real_model(monkeypatch):
+    """Streamed and unrolled paths are numerically identical through the
+    real generator (same plan, threshold toggled)."""
+    import jax
+    import jax.numpy as jnp
+    from uncltmo_tpu.inference import engine as eng_mod
+    from uncltmo_tpu.inference.engine import TileEngine
+    from uncltmo_tpu.models.unet import UNetTMO, bottleneck_grid
+
+    size = 112
+    model = UNetTMO(gcn_grid=bottleneck_grid(size))
+    variables = jax.jit(model.init)(jax.random.PRNGKey(2),
+                                    jnp.zeros((1, size, size, 1)))
+    img = jnp.asarray(
+        np.random.default_rng(3).random((224, 280, 1)).astype(np.float32))
+
+    eng = TileEngine(model, variables, tile=size, overlap=28, chunk=4)
+    n = eng._n_tiles(224, 280)
+    assert n > 4                                  # multi-chunk plan
+    unrolled = np.asarray(eng.run_image(img))
+
+    monkeypatch.setattr(eng_mod, "STREAM_TILE_THRESHOLD", n - 1)
+    eng2 = TileEngine(model, variables, tile=size, overlap=28, chunk=4)
+    streamed = np.asarray(eng2.run_image(img))
+    np.testing.assert_allclose(streamed, unrolled, atol=1e-6)

@@ -19,12 +19,25 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from uncltmo_tpu.inference.tiling import tile_plan
+from uncltmo_tpu.inference.tiling import axis_plan, tile_plan
 from uncltmo_tpu.models.unet import UNetTMO, video_apply
 
 
 def _round_up(n: int, m: int) -> int:
     return -(-n // m) * m
+
+
+# Above this many tiles per conv batch the unrolled gather/blend program
+# (one dynamic_slice + dynamic_update_slice pair per tile, static origins)
+# is replaced by the STREAMED path: a lax.scan over fixed-size chunks with
+# origins read from a traced array.  The unrolled form is faster at the
+# published 1080p scale (~60-120 tiles; XLA interleaves the independent
+# slice chains) but its HLO grows linearly with the tile count — the
+# full-resolution protocol leg (overlap 192, `model_save_util.py:303-304`)
+# puts ~1.8k tiles on a 4K frame, where the unrolled program's trace/compile
+# time and the all-tiles-resident gather (0.5 GB at 4K) are both
+# prohibitive.  The streamed path holds one chunk of tiles + the canvas.
+STREAM_TILE_THRESHOLD = 192
 
 
 def _scatter_blend(weighted, origins, out_shape):
@@ -141,10 +154,87 @@ class TileEngine:
         return jax.lax.with_sharding_constraint(
             tiles, NamedSharding(self.mesh, spec))
 
+    def _n_tiles(self, h: int, w: int) -> int:
+        """Tile count of the (h, w) plan without materializing the dense
+        masks (the streamed path never needs them; at 4K/overlap-192 they
+        would be ~0.5 GB)."""
+        return (len(axis_plan(h, self.tile, self.overlap).origins)
+                * len(axis_plan(w, self.tile, self.overlap).origins))
+
+    def _streamed_frame_core(self, h: int, w: int):
+        """Single-frame pipeline for LARGE tile plans (full-resolution
+        protocol leg: overlap 192, `model_save_util.py:303-304` — ~1.8k
+        tiles on a 4K frame).
+
+        A lax.scan over fixed-size tile chunks: each step gathers its chunk
+        with traced-origin dynamic_slices, runs one conv batch, and
+        accumulates the separably-weighted tiles into the canvas.  Program
+        size is O(chunk), resident memory is one chunk of tiles + the
+        canvas — both independent of the tile count (the unrolled path is
+        O(N) in program size and keeps all N tiles resident).  The blend
+        weights use the axis plans' separable form (mask = wy ⊗ wx), so
+        the (N, t, t) dense mask array is never built."""
+        py = axis_plan(h, self.tile, self.overlap)
+        px = axis_plan(w, self.tile, self.overlap)
+        ny, nx = len(py.origins), len(px.origins)
+        n = ny * nx
+        t = self.tile
+        origins_np = np.stack([np.repeat(py.origins, nx),
+                               np.tile(px.origins, ny)],
+                              axis=1).astype(np.int32)
+        wy_np = np.repeat(py.weights, nx, axis=0).astype(np.float32)
+        wx_np = np.tile(px.weights, (ny, 1)).astype(np.float32)
+        gran = len(self.mesh.devices.flat) if self.mesh is not None else 4
+        chunk = min(_round_up(self.chunk, gran), _round_up(n, gran))
+        n_pad = _round_up(n, chunk)
+        # padding tiles sit at origin (0, 0) with all-zero weights: their
+        # forward runs (identical chunk shapes, one compilation) but they
+        # contribute nothing to the canvas
+        pad = n_pad - n
+        origins_np = np.concatenate(
+            [origins_np, np.zeros((pad, 2), np.int32)])
+        wy_np = np.concatenate([wy_np, np.zeros((pad, t), np.float32)])
+        wx_np = np.concatenate([wx_np, np.zeros((pad, t), np.float32)])
+        model, dtype = self.model, self.dtype
+
+        def run(variables, image_hw1):
+            org = jnp.asarray(origins_np)
+            wy = jnp.asarray(wy_np)
+            wx = jnp.asarray(wx_np)
+
+            def step(canvas, ci):
+                i0 = ci * chunk
+                tiles = jnp.stack([
+                    jax.lax.dynamic_slice(
+                        image_hw1, (org[i0 + i, 0], org[i0 + i, 1], 0),
+                        (t, t, image_hw1.shape[-1]))
+                    for i in range(chunk)])
+                tiles = self._shard_tiles(tiles[None])[0]
+                out, _ = model.apply(variables, tiles.astype(dtype))
+                out = out.astype(jnp.float32).reshape(chunk, t, t)
+                cwy = jax.lax.dynamic_slice(wy, (i0, 0), (chunk, t))
+                cwx = jax.lax.dynamic_slice(wx, (i0, 0), (chunk, t))
+                weighted = out * cwy[:, :, None] * cwx[:, None, :]
+                for i in range(chunk):
+                    oy, ox = org[i0 + i, 0], org[i0 + i, 1]
+                    cur = jax.lax.dynamic_slice(canvas, (oy, ox), (t, t))
+                    canvas = jax.lax.dynamic_update_slice(
+                        canvas, cur + weighted[i], (oy, ox))
+                return canvas, None
+
+            canvas = jnp.zeros((h, w), jnp.float32)
+            canvas, _ = jax.lax.scan(step, canvas,
+                                     jnp.arange(n_pad // chunk))
+            return canvas[..., None]
+
+        return run
+
     # ------------------------------------------------------------------
     def _image_core(self, h: int, w: int):
         """Unjitted single-frame pipeline closure: (variables, (H,W,1)) ->
         (H,W,1)."""
+        if self._n_tiles(h, w) > STREAM_TILE_THRESHOLD:
+            return self._streamed_frame_core(h, w)
         plan = tile_plan(h, w, self.tile, self.overlap)
         origins = plan.origins
         masks_np = plan.masks
@@ -189,7 +279,19 @@ class TileEngine:
         Tiles from `group` frames run as ONE conv batch: the 60-tile single
         frame only reaches ~18% MXU utilization; 120+ tiles nearly doubles
         it (the convs are small-channel and need deep batches to fill the
-        pipeline)."""
+        pipeline).
+
+        Large plans (full-res protocol) take the streamed per-frame path
+        instead — a single full-res frame already exceeds the conv batch
+        depth the chip needs, so cross-frame batching buys nothing there."""
+        if self._n_tiles(h, w) > STREAM_TILE_THRESHOLD:
+            core = self._streamed_frame_core(h, w)
+
+            def run_streamed(variables, frames_ghw1):
+                return jax.lax.map(lambda fr: core(variables, fr),
+                                   frames_ghw1)
+
+            return run_streamed
         plan = tile_plan(h, w, self.tile, self.overlap)
         origins = plan.origins
         masks_np = plan.masks
@@ -220,6 +322,14 @@ class TileEngine:
         `post_fn(frame_result)` is applied inside the scan (e.g. percentile
         stretch, or a scalar reduction for benchmarking).  F must be a
         multiple of frames_per_step.
+
+        RESIDENCY CONTRACT: all F input frames and all F (post_fn'd)
+        outputs are device-resident simultaneously — per-group memory is
+        bounded by the scan, but the batch itself is not.  At f32 a 1080p
+        frame is ~8 MB each way, so F=60 costs ~1 GB; at full resolution
+        (4K: ~33 MB/frame) keep F correspondingly small, or make post_fn
+        a reduction.  Callers with long streams should chunk their calls
+        (`InferenceRunner.run_on_path` feeds images one call at a time).
 
         Compiled executables are cached per (shape, post_fn).  The cache
         keys on `post_name` when given, else on `post_fn` object identity —

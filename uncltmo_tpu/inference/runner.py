@@ -153,7 +153,11 @@ class InferenceRunner:
         self.gen = make_generator(opt, fast_upsample=True)
         if params_G is None:
             params_G = ckpt.load_generator_params(net_path)
-        self.engine = TileEngine(self.gen, {"params": params_G},
+        # params_G may be a bare param tree or a full variables dict
+        # ({'params': ..., 'batch_stats': ...} for batch_norm checkpoints)
+        variables = (params_G if isinstance(params_G, dict)
+                     and "params" in params_G else {"params": params_G})
+        self.engine = TileEngine(self.gen, variables,
                                  tile=tile, overlap=overlap, chunk=chunk,
                                  dtype=dtype)
         self.video = video

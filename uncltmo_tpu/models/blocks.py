@@ -39,7 +39,50 @@ def activation_fn(name: str):
     raise ValueError(f"Unsupported activation: {name}")
 
 
+class TorchBatchNorm(nn.Module):
+    """BatchNorm2d with exact torch semantics (`unet_parts.py:19-24`,
+    `Discriminator.py:137`): eps=1e-5, momentum=0.1, affine (scale init 1,
+    bias init 0 — torch default; the reference's xavier init only touches
+    Conv/Linear, `model_save_util.py:41-47`).
+
+    Training normalizes by the BIASED batch variance but updates the
+    running variance with the UNBIASED one (torch's documented behavior;
+    flax's nn.BatchNorm stores the biased variance instead, so it is not
+    used here).  Eval normalizes by the stored running stats, so a
+    converted torch checkpoint reproduces the reference bit-for-bit.
+    Statistics are kept float32 regardless of the compute dtype.
+    """
+    momentum: float = 0.1
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray,
+                 use_running_average: bool = True) -> jnp.ndarray:
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((c,), jnp.float32))
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, axis=(0, 1, 2))
+            var = jnp.mean(jnp.square(xf - mean), axis=(0, 1, 2))
+            if not self.is_initializing():
+                n = x.size // c
+                unbiased = var * (n / max(n - 1, 1))
+                m = self.momentum
+                ra_mean.value = (1 - m) * ra_mean.value + m * mean
+                ra_var.value = (1 - m) * ra_var.value + m * unbiased
+        y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.eps)
+        return (y * scale + bias).astype(x.dtype)
+
+
 def _maybe_norm(unet_norm: str, x: jnp.ndarray) -> jnp.ndarray:
+    """The parameter-free norms, usable outside a module scope."""
     if unet_norm == "none":
         return x
     if unet_norm == "instance_norm":
@@ -49,9 +92,17 @@ def _maybe_norm(unet_norm: str, x: jnp.ndarray) -> jnp.ndarray:
         return (x - mu) * jax.lax.rsqrt(var + 1e-5)
     raise ValueError(
         f"Unsupported norm: {unet_norm!r} (supported: 'none', "
-        "'instance_norm'; the reference's 'batch_norm' needs mutable "
-        "running statistics and is deliberately not implemented — no "
-        "published config uses it)")
+        "'instance_norm', 'batch_norm')")
+
+
+def _norm(unet_norm: str, x: jnp.ndarray, train: bool,
+          name: str) -> jnp.ndarray:
+    """Norm dispatch inside an nn.compact scope: batch_norm creates a
+    TorchBatchNorm submodule (params + running batch_stats); the
+    parameter-free kinds fall through to `_maybe_norm`."""
+    if unet_norm == "batch_norm":
+        return TorchBatchNorm(name=name)(x, use_running_average=not train)
+    return _maybe_norm(unet_norm, x)
 
 
 def _jnp_pad_mode(padding_mode: str) -> str:
@@ -150,14 +201,14 @@ class DoubleConv(nn.Module):
     padding_mode: str = "edge"
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         act = activation_fn(self.activation)
         for i in range(2):
             x = Conv3x3(self.out_ch, self.pad, self.padding_mode,
                         name=f"conv{i}")(x)
             if self.post_pad_replicate:
                 x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
-            x = _maybe_norm(self.unet_norm, x)
+            x = _norm(self.unet_norm, x, train, name=f"norm{i}")
             x = act(x)
         return x
 
@@ -170,11 +221,11 @@ class DoubleConvT(nn.Module):
     activation: str = "relu"
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         act = activation_fn(self.activation)
         for i in range(2):
             x = ConvT3x3(self.out_ch, name=f"convt{i}")(x)
-            x = _maybe_norm(self.unet_norm, x)
+            x = _norm(self.unet_norm, x, train, name=f"norm{i}")
             x = act(x)
         return x
 
@@ -191,17 +242,17 @@ class DoubleLastConv(nn.Module):
     padding_mode: str = "edge"
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         act = activation_fn(self.activation)
         x = Conv3x3(self.out_ch, self.pad, self.padding_mode,
                     name="conv")(x)
         if self.post_pad_replicate:
             x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
-        x = _maybe_norm(self.unet_norm, x)
+        x = _norm(self.unet_norm, x, train, name="norm0")
         x = act(x)
         if self.double_conv_transpose:
             x = ConvT3x3(self.out_ch, name="convt")(x)
-            x = _maybe_norm(self.unet_norm, x)
+            x = _norm(self.unet_norm, x, train, name="norm1")
             x = act(x)
         return x
 
@@ -290,7 +341,7 @@ class Up(nn.Module):
     fast_upsample: bool = False
 
     @nn.compact
-    def __call__(self, x1, x2, d_weight_mul=1.0):
+    def __call__(self, x1, x2, d_weight_mul=1.0, train: bool = False):
         if self.up_mode:
             x1 = zero_insert_upsample(x1)
         elif self.bilinear:
@@ -313,13 +364,13 @@ class Up(nn.Module):
         x = concat_skip(x2, x1, self.con_operator, d_weight_mul)
         if self.double_conv_transpose:
             x = DoubleConvT(self.out_ch, self.unet_norm, self.activation,
-                            name="conv")(x)
+                            name="conv")(x, train=train)
         else:
             x = DoubleConv(self.out_ch, self.unet_norm, self.activation,
                            pad=self.pad,
                            post_pad_replicate=self.up_mode,
                            padding_mode=self.padding_mode,
-                           name="conv")(x)
+                           name="conv")(x, train=train)
         return x
 
 

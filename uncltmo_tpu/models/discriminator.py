@@ -13,7 +13,8 @@ from typing import Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
-from uncltmo_tpu.models.blocks import xavier_gain2, activation_fn, _maybe_norm
+from uncltmo_tpu.models.blocks import (xavier_gain2, activation_fn,
+                                       _maybe_norm, _norm)
 from uncltmo_tpu.ops.resize import bicubic_half
 from uncltmo_tpu.ops.windows import adaptive_avg_pool_1, contrast_map
 
@@ -108,7 +109,7 @@ class DCGANDiscriminator(nn.Module):
     d_nlayers: int = 3
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         lrelu = activation_fn("leakyrelu")
         pad = [(1, 1), (1, 1)]
         # every reference layer is Blocks.Conv2dBlock, which hardcodes
@@ -130,7 +131,7 @@ class DCGANDiscriminator(nn.Module):
             x = nn.Conv(dim, (4, 4), strides=(2, 2), padding=pad,
                         use_bias=False, kernel_init=xavier_gain2,
                         name=f"down{i}")(x)
-            x = _maybe_norm(self.norm, x)
+            x = _norm(self.norm, x, train, name=f"norm{i}")
             x = lrelu(x)
         x = nn.Conv(1, (4, 4), strides=(1, 1), padding="VALID",
                     use_bias=False, kernel_init=xavier_gain2,
@@ -146,17 +147,17 @@ class DCGANDiscriminator(nn.Module):
 class NLayerDiscriminator(nn.Module):
     """PatchGAN discriminator (reference `Discriminator.py:129-167`).
 
-    The reference default norm is batch_norm; this port supports
-    'instance_norm'/'none' and fails loudly on 'batch_norm' (flax
-    BatchNorm would need mutable running statistics threaded through
-    every apply — not worth it for a variant the trainer rejects)."""
+    The reference default norm is batch_norm (`Discriminator.py:137`),
+    supported here via TorchBatchNorm (running stats live in the
+    batch_stats collection; eval applies use them, a train=True apply
+    must be mutable=['batch_stats'])."""
     ndf: int = 64
     n_layers: int = 3
     norm: str = "none"
     last_activation: str = "none"
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         lrelu = activation_fn("leakyrelu")
         pad = [(1, 1), (1, 1)]
         x = nn.Conv(self.ndf, (4, 4), strides=(2, 2), padding=pad,
@@ -167,14 +168,14 @@ class NLayerDiscriminator(nn.Module):
             nf = min(2 ** n, 8)
             x = nn.Conv(self.ndf * nf, (4, 4), strides=(2, 2), padding=pad,
                         use_bias=False, kernel_init=xavier_gain2)(x)
-            x = _maybe_norm(self.norm, x)
+            x = _norm(self.norm, x, train, name=f"norm{n - 1}")
             x = lrelu(x)
         nf = min(2 ** self.n_layers, 8)
         # the reference's stride-1 pre-final block is also a Conv2dBlock
         # with the SAME norm (`Discriminator.py:154-158`)
         x = nn.Conv(self.ndf * nf, (4, 4), strides=(1, 1), padding=pad,
                     use_bias=False, kernel_init=xavier_gain2)(x)
-        x = _maybe_norm(self.norm, x)
+        x = _norm(self.norm, x, train, name="norm_pre")
         x = lrelu(x)
         x = nn.Conv(1, (4, 4), strides=(1, 1), padding=pad,
                     kernel_init=xavier_gain2)(x)

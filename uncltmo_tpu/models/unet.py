@@ -127,19 +127,22 @@ class UNetTMO(nn.Module):
         Returns (x_out, up_x, new_carry).
         """
         r = self.recurrent_ch_ratio
+        # batch_norm updates its running stats exactly when DropPath is
+        # live (torch train() mode toggles both together)
+        train = not deterministic
         d_weight_mul = 1.0
         if self.con_operator == params.SQUARE_AND_SQUARE_ROOT_MANUAL_D:
             d_weight_mul = x[0, 0, 0, 1]
 
         new_carry: List[jnp.ndarray] = []
-        next_x = self.inc(x)
+        next_x = self.inc(x, train=train)
         skips = [next_x]
         new_carry.append(_rec_slice(next_x, r))
 
         down_layers = list(self.downs) + [self.last_down]
         for i, layer in enumerate(down_layers):
             fea = next_x if carry is None else _splice(next_x, carry[i])
-            next_x = layer(blocks.max_pool_2(fea))
+            next_x = layer(blocks.max_pool_2(fea), train=train)
             skips.append(next_x)
             if i < len(down_layers) - 1:
                 new_carry.append(_rec_slice(next_x, r))
@@ -151,7 +154,8 @@ class UNetTMO(nn.Module):
         for i, layer in enumerate(self.ups):
             if carry is not None:
                 up_x = _splice(up_x, carry[self.depth + i])
-            up_x = layer(up_x, skips[self.depth - (i + 1)], d_weight_mul)
+            up_x = layer(up_x, skips[self.depth - (i + 1)], d_weight_mul,
+                         train=train)
             if i < len(self.ups) - 1:
                 new_carry.append(_rec_slice(up_x, r))
 
@@ -235,14 +239,23 @@ def make_generator(opt=None, **overrides) -> UNetTMO:
 # ----------------------------------------------------------------------
 def video_apply(model: UNetTMO, variables, x_btHWC: jnp.ndarray,
                 deterministic: bool = True, rngs=None,
-                with_features: bool = True):
+                with_features: bool = True, with_stats: bool = False):
     """(B, T, H, W, C) -> ((B, T, H, W, 1) outputs, (B, T, 2F) features).
 
     Replaces the reference's Python frame loop (`Unet.py:218-286`) with an
     XLA scan whose carry is the recurrent-slice pytree.  `with_features`
     toggles the contrastive feature head (training needs it; tiled
     inference does not — it costs an 11x11 depthwise conv per frame).
+
+    batch_norm models: when `variables` carries batch_stats and
+    deterministic=False, every frame updates the running statistics in
+    sequence (the reference's torch loop updates them per frame call too);
+    the stats ride the scan carry.  Pass `with_stats=True` to get
+    (outputs, features, updated_stats) back — a training caller that omits
+    it would silently lose the updates.
     """
+    mutating = (not deterministic) and bool(variables.get("batch_stats"))
+
     def _frame_rngs(k):
         # fold the frame index in: flax's make_rng counter resets per
         # apply, so a scan-invariant key would draw IDENTICAL DropPath
@@ -253,29 +266,47 @@ def video_apply(model: UNetTMO, variables, x_btHWC: jnp.ndarray,
         return {name: jax.random.fold_in(key, k)
                 for name, key in rngs.items()}
 
-    def frame_fn(xt, carry, frame_rngs):
-        out, up_x, new_carry = model.apply(
-            variables, xt, carry, deterministic=deterministic,
-            rngs=frame_rngs, method=UNetTMO.frame)
+    def frame_fn(xt, carry, frame_rngs, stats):
+        vars_k = dict(variables)
+        if stats is not None:
+            vars_k["batch_stats"] = stats
+        if mutating:
+            (out, up_x, new_carry), upd = model.apply(
+                vars_k, xt, carry, deterministic=deterministic,
+                rngs=frame_rngs, method=UNetTMO.frame,
+                mutable=["batch_stats"])
+            new_stats = upd["batch_stats"]
+        else:
+            out, up_x, new_carry = model.apply(
+                vars_k, xt, carry, deterministic=deterministic,
+                rngs=frame_rngs, method=UNetTMO.frame)
+            new_stats = stats
         if with_features:
-            feat = model.apply(variables, up_x, method=UNetTMO.feature_head)
+            feat = model.apply(vars_k, up_x, method=UNetTMO.feature_head)
         else:
             feat = jnp.zeros((xt.shape[0], 0), xt.dtype)
-        return out, feat, new_carry
+        return out, feat, new_carry, new_stats
 
-    out0, feat0, carry = frame_fn(x_btHWC[:, 0], None, _frame_rngs(0))
+    stats0 = variables.get("batch_stats") if mutating else None
+    out0, feat0, carry, stats = frame_fn(x_btHWC[:, 0], None,
+                                         _frame_rngs(0), stats0)
     t = x_btHWC.shape[1]
     if t == 1:
+        if with_stats:
+            return out0[:, None], feat0[:, None], stats
         return out0[:, None], feat0[:, None]
 
     def step(c, xk):
+        rec, st = c
         xt, k = xk
-        out, feat, c2 = frame_fn(xt, c, _frame_rngs(k))
-        return c2, (out, feat)
+        out, feat, rec2, st2 = frame_fn(xt, rec, _frame_rngs(k), st)
+        return (rec2, st2), (out, feat)
 
     xs = jnp.moveaxis(x_btHWC[:, 1:], 1, 0)          # (T-1, B, H, W, C)
-    _, (outs, feats) = jax.lax.scan(step, carry,
-                                    (xs, jnp.arange(1, t)))
+    (_, stats), (outs, feats) = jax.lax.scan(step, (carry, stats),
+                                             (xs, jnp.arange(1, t)))
     outs = jnp.concatenate([out0[:, None], jnp.moveaxis(outs, 0, 1)], axis=1)
     feats = jnp.concatenate([feat0[:, None], jnp.moveaxis(feats, 0, 1)], axis=1)
+    if with_stats:
+        return outs, feats, stats
     return outs, feats

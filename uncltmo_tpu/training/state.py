@@ -31,14 +31,18 @@ class TrainState:
     opt_state_G: Any
     opt_state_D: Any
     step: jnp.ndarray
+    # generator batch-norm running statistics ({} for the published
+    # norm-free configs; populated when unet_norm='batch_norm')
+    stats_G: Any = flax.struct.field(default_factory=dict)
 
     @classmethod
-    def create(cls, params_G, params_D):
+    def create(cls, params_G, params_D, stats_G=None):
         opt = make_optimizer()
         return cls(params_G=params_G, params_D=params_D,
                    opt_state_G=opt.init(params_G),
                    opt_state_D=opt.init(params_D),
-                   step=jnp.zeros((), jnp.int32))
+                   step=jnp.zeros((), jnp.int32),
+                   stats_G=stats_G if stats_G else {})
 
 
 def apply_updates(params, grads, opt_state, lr):

@@ -100,20 +100,42 @@ def make_train_step(gen: UNetTMO, disc: SimpleDiscriminator,
       ldr_neg: (B, 2, H, W, 1)  SICE over/under-exposed luma / 255
     """
 
-    def g_forward(params_G, hdr, rng, deterministic=False):
+    def g_forward(params_G, stats_G, hdr, rng, deterministic=False):
+        """Returns (fake, features, updated batch_stats).  stats_G is the
+        generator's running batch-norm statistics ({} for the published
+        norm-free configs); every training forward updates them, exactly
+        like the reference's always-train()-mode netG calls."""
         variables = {"params": params_G}
+        has_stats = bool(stats_G)
+        if has_stats:
+            variables["batch_stats"] = stats_G
         rngs = {"droppath": rng}
         if cfg.video:
-            outs, feats = video_apply(gen, variables, hdr,
-                                      deterministic=deterministic, rngs=rngs)
+            if has_stats:
+                outs, feats, new_stats = video_apply(
+                    gen, variables, hdr, deterministic=deterministic,
+                    rngs=rngs, with_stats=True)
+            else:
+                outs, feats = video_apply(gen, variables, hdr,
+                                          deterministic=deterministic,
+                                          rngs=rngs)
+                new_stats = stats_G
             fake = _flatten_frames(outs)
             fea = _flatten_frames(feats)[:, None, None, :]
         else:
             flat = _flatten_frames(hdr)
-            fake, up_x = gen.apply(variables, flat,
-                                   deterministic=deterministic, rngs=rngs)
+            if has_stats:
+                (fake, up_x), upd = gen.apply(
+                    variables, flat, deterministic=deterministic, rngs=rngs,
+                    mutable=["batch_stats"])
+                new_stats = upd["batch_stats"]
+            else:
+                fake, up_x = gen.apply(variables, flat,
+                                       deterministic=deterministic,
+                                       rngs=rngs)
+                new_stats = stats_G
             fea = up_x
-        return fake, fea
+        return fake, fea, new_stats
 
     def d_apply(params_D, x):
         return disc.apply({"params": params_D}, x)
@@ -130,12 +152,17 @@ def make_train_step(gen: UNetTMO, disc: SimpleDiscriminator,
         logs = {}
 
         # ---- D update (`GanTrainer.py:202-261`)
+        stats_G = state.stats_G
         if cfg.train_with_D:
             if pretrain:
                 fake_for_d = hdr_flat[..., :1]
             else:
-                fake_for_d, _ = g_forward(state.params_G, hdr, rng_d)
+                # this train-mode G forward also advances the BN running
+                # stats (the reference's netG(hdr) in train_D does too)
+                fake_for_d, _, stats_G = g_forward(
+                    state.params_G, stats_G, hdr, rng_d)
                 fake_for_d = jax.lax.stop_gradient(fake_for_d)
+                stats_G = jax.lax.stop_gradient(stats_G)
             d_weight = (cfg.adv_weight if stage == 0
                         else cfg.adv_weight * 1e-6)
 
@@ -165,7 +192,9 @@ def make_train_step(gen: UNetTMO, disc: SimpleDiscriminator,
 
         # ---- G update against the UPDATED D (`GanTrainer.py:263-291`)
         def g_loss_fn(params_G):
-            fake, fea_fake = g_forward(params_G, hdr, rng_g)
+            fake, fea_fake, new_stats = g_forward(params_G, stats_G,
+                                                  hdr, rng_g)
+            new_stats = jax.lax.stop_gradient(new_stats)
             err = 0.0
             if cfg.train_with_D:
                 d_fake_bp, d_fea_fake = d_apply(params_D, fake)
@@ -182,10 +211,10 @@ def make_train_step(gen: UNetTMO, disc: SimpleDiscriminator,
                     fake, hdr_flat[..., :1], cfg.pyramid_weights,
                     cfg.ssim_window_size)
             fake_stats = (jnp.min(fake), jnp.max(fake), jnp.mean(fake))
-            return err + err_struct, (err, err_struct, fake_stats)
+            return err + err_struct, (err, err_struct, fake_stats, new_stats)
 
-        (_, (err_g, err_struct, fake_stats)), grads_g = jax.value_and_grad(
-            g_loss_fn, has_aux=True)(state.params_G)
+        (_, (err_g, err_struct, fake_stats, stats_G)), grads_g = \
+            jax.value_and_grad(g_loss_fn, has_aux=True)(state.params_G)
         params_G, opt_state_G = apply_updates(
             state.params_G, grads_g, state.opt_state_G, g_lr)
         logs["errG_d"] = err_g
@@ -205,7 +234,7 @@ def make_train_step(gen: UNetTMO, disc: SimpleDiscriminator,
         new_state = state.replace(
             params_G=params_G, params_D=params_D,
             opt_state_G=opt_state_G, opt_state_D=opt_state_D,
-            step=state.step + 1)
+            stats_G=stats_G, step=state.step + 1)
         return new_state, logs
 
     return train_step

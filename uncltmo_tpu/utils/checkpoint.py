@@ -164,11 +164,20 @@ def load_params(path: str, template: Any = None) -> Any:
 
 def load_generator_params(net_path: str) -> Any:
     """Load generator params from either a framework .msgpack checkpoint or
-    a reference .pth torch checkpoint (converted on the fly)."""
+    a reference .pth torch checkpoint (converted on the fly).  batch_norm
+    checkpoints come back as a full variables dict ({'params': ...,
+    'batch_stats': ...}); norm-free ones as the bare param tree."""
     if net_path.endswith(".pth"):
         from uncltmo_tpu.utils.convert_torch import convert_checkpoint
-        return convert_checkpoint(net_path)["params_G"]
+        out = convert_checkpoint(net_path)
+        if out.get("stats_G"):
+            return {"params": out["params_G"],
+                    "batch_stats": out["stats_G"]}
+        return out["params_G"]
     restored = load_params(net_path)
     if "params_G" in restored:
+        if restored.get("stats_G"):
+            return {"params": restored["params_G"],
+                    "batch_stats": restored["stats_G"]}
         return restored["params_G"]
     return restored

@@ -56,6 +56,26 @@ def _grouped_1x1(sd, name, groups=4):
     return {"kernel": kern, "bias": b}
 
 
+def _bn(sd, name):
+    """BatchNorm2d -> (affine params, running batch_stats)."""
+    p = {"scale": np.asarray(sd[name + ".weight"], np.float32),
+         "bias": np.asarray(sd[name + ".bias"], np.float32)}
+    s = {"mean": np.asarray(sd[name + ".running_mean"], np.float32),
+         "var": np.asarray(sd[name + ".running_var"], np.float32)}
+    return p, s
+
+
+def _maybe_bn_pair(sd, base, flax_names, p_block, s_block):
+    """Map torch's (norm, norm1) BatchNorm pair at `base` (present only for
+    unet_norm='batch_norm' checkpoints, `unet_parts.py:19-24`) into the
+    flax param/stats blocks under `flax_names`."""
+    for torch_name, flax_name in zip(("norm", "norm1"), flax_names):
+        key = f"{base}.{torch_name}.weight"
+        if key in sd:
+            p_block[flax_name], s_block[flax_name] = _bn(
+                sd, f"{base}.{torch_name}")
+
+
 def strip_module_prefix(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     """Remove DataParallel's 'module.' prefix
     (reference `model_save_util.py:190-196`)."""
@@ -64,19 +84,35 @@ def strip_module_prefix(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     return sd
 
 
-def convert_generator(sd: Dict[str, np.ndarray], depth: int = 4) -> dict:
-    """Torch UNet (image or video — identical param names) -> Flax params."""
+def convert_generator(sd: Dict[str, np.ndarray], depth: int = 4,
+                      stats: dict = None) -> dict:
+    """Torch UNet (image or video — identical param names) -> Flax params.
+
+    For unet_norm='batch_norm' checkpoints pass `stats={}`: the BatchNorm
+    affine params land in the returned tree and the running statistics are
+    written into `stats` (the flax batch_stats collection)."""
     sd = strip_module_prefix(sd)
+    if stats is None:
+        stats = {}
     p: dict = {}
     p["inc"] = {"conv0": {"Conv_0": _conv(sd, "inc.conv.conv")},
                 "conv1": {"Conv_0": _conv(sd, "inc.conv.conv1")}}
+    stats["inc"] = {}
+    _maybe_bn_pair(sd, "inc.conv", ("norm0", "norm1"), p["inc"],
+                   stats["inc"])
     for i in range(depth - 1):
         base = f"down_path.{i}.mpconv.1"
         p[f"down{i}"] = {"conv0": {"Conv_0": _conv(sd, base + ".conv")},
                          "conv1": {"Conv_0": _conv(sd, base + ".conv1")}}
+        stats[f"down{i}"] = {}
+        _maybe_bn_pair(sd, base, ("norm0", "norm1"), p[f"down{i}"],
+                       stats[f"down{i}"])
     base = f"down_path.{depth - 1}.mpconv.1"
     p["last_down"] = {"conv": {"Conv_0": _conv(sd, base + ".conv")},
                       "convt": {"Conv_0": _convt3(sd, base + ".conv1")}}
+    stats["last_down"] = {}
+    _maybe_bn_pair(sd, base, ("norm0", "norm1"), p["last_down"],
+                   stats["last_down"])
     pos = np.asarray(sd["gcn.pos_embed"], np.float32).transpose(0, 2, 3, 1)
     p["gcn"] = {
         "pos_embed": pos,
@@ -95,7 +131,14 @@ def convert_generator(sd: Dict[str, np.ndarray], depth: int = 4) -> dict:
             "conv": {"convt0": {"Conv_0": _convt3(sd, base + ".conv.conv")},
                      "convt1": {"Conv_0": _convt3(sd, base + ".conv.conv1")}},
         }
+        stats[f"up{i}"] = {"conv": {}}
+        _maybe_bn_pair(sd, base + ".conv", ("norm0", "norm1"),
+                       p[f"up{i}"]["conv"], stats[f"up{i}"]["conv"])
     p["outc"] = {"Conv_0": _conv(sd, "outc.conv")}
+    # prune empty stats subtrees so norm-free checkpoints yield stats == {}
+    for k in list(stats):
+        if not stats[k] or stats[k] == {"conv": {}}:
+            del stats[k]
     return p
 
 
@@ -128,7 +171,11 @@ def convert_checkpoint(path: str) -> dict:
     ckpt = load_torch_checkpoint(path)
     out = {"epoch": ckpt["epoch"]}
     if "modelG_state_dict" in ckpt:
-        out["params_G"] = convert_generator(ckpt["modelG_state_dict"])
+        stats: dict = {}
+        out["params_G"] = convert_generator(ckpt["modelG_state_dict"],
+                                            stats=stats)
+        if stats:
+            out["stats_G"] = stats
     if "modelD_state_dict" in ckpt:
         try:
             out["params_D"] = convert_discriminator(ckpt["modelD_state_dict"])

@@ -60,18 +60,48 @@ def _grouped_1x1_inv(p: Dict, out: Dict, name: str) -> None:
     out[name + ".bias"] = _np(p["bias"])
 
 
-def export_generator(params: Dict, depth: int = 4) -> Dict[str, np.ndarray]:
-    """Flax generator params -> reference UNet state dict (numpy values)."""
+def _bn_inv(p: Dict, s: Dict, out: Dict, name: str) -> None:
+    """TorchBatchNorm (affine params + running batch_stats) ->
+    torch BatchNorm2d state (incl. the num_batches_tracked counter torch
+    checkpoints carry; its value only matters for momentum=None, which the
+    reference never uses)."""
+    out[name + ".weight"] = _np(p["scale"])
+    out[name + ".bias"] = _np(p["bias"])
+    out[name + ".running_mean"] = _np(s["mean"])
+    out[name + ".running_var"] = _np(s["var"])
+    out[name + ".num_batches_tracked"] = np.zeros((), np.int64)
+
+
+def _maybe_bn_pair_inv(params: Dict, stats: Dict, out: Dict,
+                       base: str, flax_names) -> None:
+    for torch_name, flax_name in zip(("norm", "norm1"), flax_names):
+        if flax_name in params:
+            _bn_inv(params[flax_name], stats[flax_name], out,
+                    f"{base}.{torch_name}")
+
+
+def export_generator(params: Dict, depth: int = 4,
+                     stats: Dict = None) -> Dict[str, np.ndarray]:
+    """Flax generator params -> reference UNet state dict (numpy values).
+    For batch_norm models pass the batch_stats collection as `stats` so
+    the running statistics export alongside the affine params."""
+    stats = stats or {}
     sd: Dict[str, np.ndarray] = {}
     _conv_inv(params["inc"]["conv0"]["Conv_0"], sd, "inc.conv.conv")
     _conv_inv(params["inc"]["conv1"]["Conv_0"], sd, "inc.conv.conv1")
+    _maybe_bn_pair_inv(params["inc"], stats.get("inc", {}), sd, "inc.conv",
+                       ("norm0", "norm1"))
     for i in range(depth - 1):
         base = f"down_path.{i}.mpconv.1"
         _conv_inv(params[f"down{i}"]["conv0"]["Conv_0"], sd, base + ".conv")
         _conv_inv(params[f"down{i}"]["conv1"]["Conv_0"], sd, base + ".conv1")
+        _maybe_bn_pair_inv(params[f"down{i}"], stats.get(f"down{i}", {}),
+                           sd, base, ("norm0", "norm1"))
     base = f"down_path.{depth - 1}.mpconv.1"
     _conv_inv(params["last_down"]["conv"]["Conv_0"], sd, base + ".conv")
     _convt3_inv(params["last_down"]["convt"]["Conv_0"], sd, base + ".conv1")
+    _maybe_bn_pair_inv(params["last_down"], stats.get("last_down", {}),
+                       sd, base, ("norm0", "norm1"))
 
     pos = _np(params["gcn"]["pos_embed"])                # (1, g, g, C)
     sd["gcn.pos_embed"] = pos.transpose(0, 3, 1, 2).copy()
@@ -91,6 +121,9 @@ def export_generator(params: Dict, depth: int = 4) -> Dict[str, np.ndarray]:
                     base + ".conv.conv")
         _convt3_inv(params[f"up{i}"]["conv"]["convt1"]["Conv_0"], sd,
                     base + ".conv.conv1")
+        _maybe_bn_pair_inv(params[f"up{i}"]["conv"],
+                           stats.get(f"up{i}", {}).get("conv", {}),
+                           sd, base + ".conv", ("norm0", "norm1"))
     _conv_inv(params["outc"]["Conv_0"], sd, "outc.conv")
     return sd
 
@@ -108,14 +141,16 @@ def export_discriminator(params: Dict) -> Dict[str, np.ndarray]:
 
 def save_reference_checkpoint(path: str, params_G: Dict,
                               params_D: Optional[Dict] = None,
-                              epoch: int = 0, depth: int = 4) -> str:
+                              epoch: int = 0, depth: int = 4,
+                              stats_G: Optional[Dict] = None) -> str:
     """Write a reference-format `.pth` (`model_save_util.py:121-131`).
     Requires torch."""
     import torch
     ckpt = {"epoch": epoch,
             "modelG_state_dict": {
                 k: torch.tensor(v)
-                for k, v in export_generator(params_G, depth).items()}}
+                for k, v in export_generator(params_G, depth,
+                                             stats=stats_G).items()}}
     if params_D is not None:
         ckpt["modelD_state_dict"] = {
             k: torch.tensor(v)
