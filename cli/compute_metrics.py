@@ -117,22 +117,70 @@ def _tmqi_dir(hdr_dir, ldr_dir, output, max_frames=0, revised=False):
     return scores
 
 
+def _baseline_for(baseline_dir: str, name: str):
+    """The L1L0-baseline render matching `name`: same filename, or the
+    reference's '<stem>_L1L0TM.png' pattern (`Tester.py:378-385`)."""
+    stem = os.path.splitext(name)[0]
+    for cand in (name, stem + "_L1L0TM.png"):
+        p = os.path.join(baseline_dir, cand)
+        if os.path.exists(p):
+            return read_ldr_image(p)
+    return None
+
+
 def cmd_warp(args):
-    from uncltmo_tpu.metrics.warp_error import compute_warp_error
+    from uncltmo_tpu.metrics.warp_error import (compute_warp_error,
+                                                resolve_flow_algo)
+    resolved = resolve_flow_algo(args.algo)
+    if args.protocol == "strict":
+        # the published protocol is DeepFlow on the L1L0 baseline renders
+        # (`Tester.py:378-390`); strict mode refuses to emit numbers that
+        # would silently mean something else on this machine
+        if resolved != "DeepFlow":
+            raise SystemExit(
+                f"--protocol strict: flow algo resolves to {resolved!r} on "
+                "this machine but the paper protocol requires DeepFlow "
+                "(opencv-contrib); rerun with --protocol loose to accept a "
+                "documented deviation")
+        if not args.baseline_dir:
+            raise SystemExit(
+                "--protocol strict requires --baseline_dir with the L1L0 "
+                "baseline renders (flow on the model's own output is not "
+                "the paper protocol)")
     frames = sorted(f for f in os.listdir(args.frames_dir)
                     if f.lower().endswith((".png", ".jpg")))
     e1s, e2s = [], []
+    flow_source = None
     for a, b in zip(frames[:-1], frames[1:]):
         f0 = read_ldr_image(os.path.join(args.frames_dir, a))
         f1 = read_ldr_image(os.path.join(args.frames_dir, b))
-        e1, e2 = compute_warp_error(f0, f1, algo=args.algo)
+        src0 = src1 = None
+        if args.baseline_dir:
+            src0 = _baseline_for(args.baseline_dir, a)
+            src1 = _baseline_for(args.baseline_dir, b)
+            if src0 is None or src1 is None:
+                if args.protocol == "strict":
+                    raise SystemExit(
+                        f"--protocol strict: no baseline render for "
+                        f"{a!r}/{b!r} in {args.baseline_dir!r}")
+                src0 = src1 = None
+        e1, e2, info = compute_warp_error(f0, f1, algo=args.algo,
+                                          flow_source0=src0,
+                                          flow_source1=src1,
+                                          with_provenance=True)
+        if flow_source not in (None, info["flow_source"]):
+            info["flow_source"] = "mixed"   # some pairs had a baseline
+        flow_source = info["flow_source"]
         e1s.append(e1)
         e2s.append(e2)
         print(f"{a} -> {b}: E1={e1:.6f} E2={e2:.6f}")
     if e1s:
-        print(f"mean E1={np.mean(e1s):.6f} mean E2={np.mean(e2s):.6f}")
+        print(f"mean E1={np.mean(e1s):.6f} mean E2={np.mean(e2s):.6f} "
+              f"[flow={resolved} on {flow_source} renders]")
         _save(args.output, {"E1": float(np.mean(e1s)),
-                            "E2": float(np.mean(e2s))})
+                            "E2": float(np.mean(e2s)),
+                            "flow_algo": resolved,
+                            "flow_source": flow_source})
 
 
 def cmd_fid(args):
@@ -216,6 +264,16 @@ def main(argv=None):
                             "hs_jax"],
                    help="flow estimator; hs_jax = on-device pyramidal "
                         "Horn-Schunck (no cv2 dependency)")
+    w.add_argument("--baseline_dir", default="",
+                   help="dir of L1L0-baseline renders to estimate flow on "
+                        "(the paper protocol, Tester.py:378-385); matched "
+                        "by filename or '<stem>_L1L0TM.png'")
+    w.add_argument("--protocol", default="loose",
+                   choices=["loose", "strict"],
+                   help="strict = refuse to run unless the result is "
+                        "paper-comparable (DeepFlow + baseline flow); "
+                        "loose = run what this machine has and record the "
+                        "{flow_algo, flow_source} provenance in the output")
     w.add_argument("--output", default="")
     f = sub.add_parser("fid")
     f.add_argument("--real_dir", required=True)

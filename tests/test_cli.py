@@ -153,6 +153,42 @@ def test_prepare_lambdas_show_mode(tmp_path, capsys):
         prepare_lambdas.main(["--mode", "lambdas", "--npy", dict_path])
 
 
+def test_compute_metrics_warp_provenance(tmp_path, capsys):
+    """`warp` must record {flow_algo, flow_source} next to E1/E2, and
+    `--protocol strict` must refuse non-paper-comparable runs (this cv2
+    build has no DeepFlow, so strict ALWAYS refuses here)."""
+    import imageio.v2 as imageio
+    compute_metrics = _import_cli("compute_metrics")
+    rng = np.random.default_rng(5)
+    frames_dir = tmp_path / "frames"
+    base_dir = tmp_path / "baseline"
+    frames_dir.mkdir()
+    base_dir.mkdir()
+    base = (rng.random((96, 120, 3)) * 255).astype(np.uint8)
+    for i in range(3):
+        frame = np.roll(base, 2 * i, axis=1)
+        imageio.imwrite(str(frames_dir / f"f{i}.png"), frame)
+        imageio.imwrite(str(base_dir / f"f{i}_L1L0TM.png"), frame)
+    out = str(tmp_path / "warp.json")
+    compute_metrics.main(["warp", "--frames_dir", str(frames_dir),
+                          "--algo", "DIS", "--output", out])
+    import json
+    res = json.load(open(out))
+    assert res["flow_algo"] == "DIS" and res["flow_source"] == "self"
+    assert "[flow=DIS on self renders]" in capsys.readouterr().out
+    # baseline renders present -> provenance flips to 'baseline'
+    compute_metrics.main(["warp", "--frames_dir", str(frames_dir),
+                          "--algo", "DIS", "--baseline_dir", str(base_dir),
+                          "--output", out])
+    res = json.load(open(out))
+    assert res["flow_source"] == "baseline"
+    # strict protocol: DeepFlow is unavailable in this cv2 build
+    with pytest.raises(SystemExit, match="DeepFlow"):
+        compute_metrics.main(["warp", "--frames_dir", str(frames_dir),
+                              "--protocol", "strict",
+                              "--baseline_dir", str(base_dir)])
+
+
 def test_compute_metrics_btmqi_mos_spearman(tmp_path, capsys):
     """btmqi --mos prints |Spearman(BTMQI, MOS)| over the filename
     intersection (`metrics/BTMQI_metric/result.m:5-7` protocol)."""

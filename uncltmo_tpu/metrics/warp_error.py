@@ -41,6 +41,33 @@ def _to_uint8(img: np.ndarray) -> np.ndarray:
     return img.astype(np.uint8)
 
 
+def resolve_flow_algo(algo: str = "auto") -> str:
+    """The CONCRETE backend `estimate_inv_flow` will run for `algo` on this
+    machine.  'auto' resolves differently across cv2 builds (DeepFlow needs
+    opencv-contrib, `Tester.py:450`), which makes logged warp-error numbers
+    silently non-comparable — callers that record E1/E2 should record this
+    next to them (VERDICT r3: provenance must ride the metric)."""
+    known = ("auto", "DeepFlow", "DIS", "Farneback", "hs_jax")
+    if algo not in known:
+        raise ValueError(f"unknown flow algo {algo!r}; choose from {known}")
+    if algo == "hs_jax" or not _HAS_CV2:
+        return "hs_jax"
+    if algo in ("auto", "DeepFlow") and hasattr(cv2, "optflow"):
+        return "DeepFlow"
+    if algo == "DeepFlow":
+        raise RuntimeError(
+            "DeepFlow requested but this cv2 build has no optflow "
+            "(opencv-contrib) module; use 'DIS', 'Farneback', 'hs_jax', "
+            "or 'auto'")
+    if algo in ("auto", "DIS") and hasattr(cv2, "DISOpticalFlow_create"):
+        return "DIS"
+    if algo == "DIS":
+        raise RuntimeError(
+            "DIS requested but this cv2 build lacks DISOpticalFlow_create; "
+            "use 'Farneback', 'hs_jax', or 'auto'")
+    return "Farneback"
+
+
 def estimate_inv_flow(img0: np.ndarray, img1: np.ndarray,
                       algo: str = "auto") -> np.ndarray:
     """Flow aligning img1 onto img0, grayscale uint8 inputs.
@@ -51,35 +78,20 @@ def estimate_inv_flow(img0: np.ndarray, img1: np.ndarray,
     exactly this call after its internal argument renames
     (`Tester.py:450-476`: of_estim.calc(img_source, img_to_align))."""
     assert img0.dtype == np.uint8 and img1.dtype == np.uint8
-    known = ("auto", "DeepFlow", "DIS", "Farneback", "hs_jax")
-    if algo not in known:
-        # warp-error numbers are not comparable across flow backends, so
-        # an explicitly requested estimator must never be silently
-        # substituted (a typo'd 'dis' must not report Farneback numbers)
-        raise ValueError(f"unknown flow algo {algo!r}; choose from {known}")
-    if algo == "hs_jax" or not _HAS_CV2:
+    # an explicitly requested estimator is never silently substituted
+    # (a typo'd 'dis' must not report Farneback numbers) — resolve_flow_algo
+    # raises for unknown names and unavailable explicit backends
+    resolved = resolve_flow_algo(algo)
+    if resolved == "hs_jax":
         # fully on-device pyramidal Horn-Schunck (no cv2 dependency)
         from uncltmo_tpu.metrics.flow_jax import estimate_inv_flow_jax
         return estimate_inv_flow_jax(img0, img1)
-    if algo in ("auto", "DeepFlow"):
-        if hasattr(cv2, "optflow"):
-            est = cv2.optflow.createOptFlow_DeepFlow()
-            return est.calc(img0, img1, None)
-        if algo == "DeepFlow":
-            raise RuntimeError(
-                "DeepFlow requested but this cv2 build has no optflow "
-                "(opencv-contrib) module; use 'DIS', 'Farneback', "
-                "'hs_jax', or 'auto'")
-    if algo in ("auto", "DIS"):
-        if hasattr(cv2, "DISOpticalFlow_create"):
-            est = cv2.DISOpticalFlow_create(
-                cv2.DISOPTICAL_FLOW_PRESET_MEDIUM)
-            return est.calc(img0, img1, None)
-        if algo == "DIS":
-            raise RuntimeError(
-                "DIS requested but this cv2 build lacks "
-                "DISOpticalFlow_create; use 'Farneback', 'hs_jax', or "
-                "'auto'")
+    if resolved == "DeepFlow":
+        est = cv2.optflow.createOptFlow_DeepFlow()
+        return est.calc(img0, img1, None)
+    if resolved == "DIS":
+        est = cv2.DISOpticalFlow_create(cv2.DISOPTICAL_FLOW_PRESET_MEDIUM)
+        return est.calc(img0, img1, None)
     return cv2.calcOpticalFlowFarneback(img0, img1, None,
                                         0.5, 3, 15, 3, 5, 1.2, 0)
 
@@ -110,14 +122,20 @@ def warp_with_flow(img: np.ndarray, flow: np.ndarray) -> np.ndarray:
 def compute_warp_error(frame0: np.ndarray, frame1: np.ndarray,
                        flow_source0: np.ndarray = None,
                        flow_source1: np.ndarray = None,
-                       crop: int = 32, algo: str = "auto"
-                       ) -> Tuple[float, float]:
+                       crop: int = 32, algo: str = "auto",
+                       with_provenance: bool = False):
     """(E1, E2) between consecutive tone-mapped frames.
 
     frame0/frame1: HxWxC, [0,1] or [0,255].  The flow may be estimated on a
     different (baseline tone-mapper's) rendering of the same scene, like the
     reference does with its L1L0 outputs (`Tester.py:378-390`): pass those
     as flow_source0/1; defaults to the frames themselves.
+
+    `with_provenance=True` appends a third element
+    {'flow_algo': <resolved backend>, 'flow_source': 'baseline'|'self'} —
+    warp-error numbers are only comparable within one (algo, source) pair,
+    so anything that LOGS E1/E2 should log this next to them.  The paper
+    protocol is DeepFlow on the L1L0 baseline renders (`Tester.py:378-390`).
     """
     if crop > 0 and (frame0.shape[0] <= 2 * crop
                      or frame0.shape[1] <= 2 * crop):
@@ -139,4 +157,9 @@ def compute_warp_error(frame0: np.ndarray, frame1: np.ndarray,
     b = target[sl, sl]
     e1 = float(np.mean((a - b) ** 2))
     e2 = float(np.mean(np.abs(a - b) / (1e-8 + a + b)))
+    if with_provenance:
+        info = {"flow_algo": resolve_flow_algo(algo),
+                "flow_source": ("baseline" if flow_source0 is not None
+                                else "self")}
+        return e1, e2, info
     return e1, e2
