@@ -194,17 +194,40 @@ def cmd_fid(args):
     _save(args.output, {"fid": fid})
 
 
+def _demo_adjust(im01: np.ndarray) -> np.ndarray:
+    """The reference demo's pre-scoring adjustment `im = (im-37.5)*0.9+45`
+    (`metrics/BTMQI_metric/demo_for_videoDataTesting.m:26`), reproduced
+    with MATLAB's saturating+rounding uint8 arithmetic."""
+    u8 = np.round(np.clip(im01, 0.0, 1.0) * 255.0)
+    return np.clip(np.clip(u8 - 37.5, 0.0, 255.0) * 0.9 + 45.0,
+                   0.0, 255.0).round() / 255.0
+
+
 def cmd_btmqi(args):
     from uncltmo_tpu.metrics.btmqi import btmqi, load_svr_model
     # parse model.mat once, not per image
     model_mat = load_svr_model(args.model_mat) if args.model_mat else None
     label = "SVR BTMQI" if model_mat else "surrogate BTMQI"
+    # measured caveats: docs/BTMQI_VALIDATION.md (features are a from-paper
+    # reconstruction; BTMQI.p is encrypted p-code with no source)
+    if model_mat:
+        print("NOTE: SVR scores use RECONSTRUCTED features — published "
+              "2..8 scale but NOT bit-comparable to the MATLAB tool, and "
+              "measured UNRELIABLE for ranking distortion severity "
+              "(docs/BTMQI_VALIDATION.md); prefer the surrogate for "
+              "relative comparisons")
+    else:
+        print("NOTE: surrogate BTMQI (reconstructed features, own scale) — "
+              "good for relative comparisons, not comparable to published "
+              "BTMQI numbers (docs/BTMQI_VALIDATION.md)")
     scores = {}
     for f in sorted(os.listdir(args.ldr_dir)):
         if not f.lower().endswith((".png", ".jpg")):
             continue
-        s, _ = btmqi(read_ldr_image(os.path.join(args.ldr_dir, f)),
-                     model_mat=model_mat)
+        im = read_ldr_image(os.path.join(args.ldr_dir, f))
+        if getattr(args, "demo_adjust", 0):
+            im = _demo_adjust(im)
+        s, _ = btmqi(im, model_mat=model_mat)
         scores[f] = s
         print(f"{f}: {s:.4f}")
     if scores:
@@ -306,6 +329,10 @@ def main(argv=None):
     b.add_argument("--mos", default="",
                    help="{filename: MOS} JSON; prints |Spearman| of BTMQI "
                         "vs MOS (`metrics/BTMQI_metric/result.m`)")
+    b.add_argument("--demo_adjust", type=int, default=0,
+                   help="apply the reference demo's (im-37.5)*0.9+45 "
+                        "pre-adjustment before scoring "
+                        "(`demo_for_videoDataTesting.m:26`)")
     b.add_argument("--output", default="")
     args = p.parse_args(argv)
     {"tmqi": cmd_tmqi, "warp": cmd_warp, "fid": cmd_fid,

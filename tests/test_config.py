@@ -53,6 +53,49 @@ def test_manual_d_training_sets_input_dim(tmp_path, monkeypatch):
     assert opt.input_dim == 2
 
 
+def test_no_silently_ignored_flags():
+    """Every Options field is either consumed somewhere in the package /
+    CLIs / bench, or explicitly registered as write-only reference-compat
+    ballast in config.WRITE_ONLY_COMPAT (with the reference citation for
+    WHY it is dead there too).  Guards both directions: a new flag nobody
+    reads fails, and a stale WRITE_ONLY_COMPAT entry for a flag that
+    gained a consumer fails."""
+    import dataclasses
+    import glob
+    import re
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    files = (glob.glob(os.path.join(repo, "uncltmo_tpu/**/*.py"),
+                       recursive=True)
+             + glob.glob(os.path.join(repo, "cli/*.py"))
+             + [os.path.join(repo, "bench.py"),
+                os.path.join(repo, "__graft_entry__.py")])
+    src = "\n".join(open(f).read() for f in files
+                    if not f.endswith("config.py"))
+    # get_opt()'s own post-processing in config.py counts as consumption
+    # (seeding, input_dim override, output-dir plumbing)
+    with open(os.path.join(repo, "uncltmo_tpu/config.py")) as f:
+        cfg_src = f.read()
+    consumed_in_get_opt = ("change_random_seed", "manual_d_training",
+                           "result_dir_prefix", "manual_seed", "output_dir")
+    for field in dataclasses.fields(config.Options):
+        name = field.name
+        used = (re.search(rf"\b{re.escape(name)}\b", src)
+                or name in consumed_in_get_opt)
+        if name in config.WRITE_ONLY_COMPAT:
+            assert not used, (
+                f"--{name} is tagged write-only-compat but has a consumer; "
+                "drop the WRITE_ONLY_COMPAT entry")
+        else:
+            assert used, (
+                f"--{name} is accepted and snapshotted but nothing reads "
+                "it; consume it or register it in WRITE_ONLY_COMPAT")
+    # the registry only names real flags
+    field_names = {f.name for f in dataclasses.fields(config.Options)}
+    assert set(config.WRITE_ONLY_COMPAT) <= field_names
+    assert "WRITE_ONLY_COMPAT" in cfg_src
+
+
 def test_options_from_model_params_forwards_convtranspose_kernel():
     """A k!=2 checkpoint must hit make_generator's explicit guard on the
     inference path, not an opaque flax shape mismatch at restore."""

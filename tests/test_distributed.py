@@ -12,7 +12,11 @@ import socket
 import subprocess
 import sys
 
+import pytest
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+pytestmark = pytest.mark.slow  # spawns 2 OS processes, each compiles the step
 
 _CHILD = r"""
 import os, sys

@@ -29,6 +29,7 @@ RUN_SETTINGS = ("/root/reference/activate_trained_model/"
                 "model_weights_imageTMO/run_settings.npy")
 
 pytestmark = [
+    pytest.mark.slow,  # full-pipeline torch-oracle comparison
     pytest.mark.skipif(not reference_shim.install(),
                        reason="torch unavailable"),
     pytest.mark.skipif(not (os.path.exists(BELGIUM)

@@ -18,8 +18,11 @@ from uncltmo_tpu.utils.convert_torch import (convert_discriminator,
 
 torch = pytest.importorskip("torch")
 
-pytestmark = pytest.mark.skipif(not reference_shim.install(),
-                                reason="torch unavailable")
+pytestmark = [
+    pytest.mark.slow,  # torch-oracle parity: builds the reference nets
+    pytest.mark.skipif(not reference_shim.install(),
+                       reason="torch unavailable"),
+]
 
 
 def _randomize(net, seed=0):

@@ -21,8 +21,11 @@ from uncltmo_tpu.inference.tiling import tile_plan
 
 torch = pytest.importorskip("torch")
 
-pytestmark = pytest.mark.skipif(not reference_shim.install(),
-                                reason="torch unavailable")
+pytestmark = [
+    pytest.mark.slow,  # torch-oracle tiler comparison
+    pytest.mark.skipif(not reference_shim.install(),
+                       reason="torch unavailable"),
+]
 
 
 class _TorchTileFn(torch.nn.Module):

@@ -144,6 +144,72 @@ def test_trainer_manual_d_training_slider(tmp_path):
         z, False, stream=3)["hdr"][0, 0, 0, 0, 1]
 
 
+def test_trainer_batch_norm_end_to_end(tmp_path):
+    """--unet_norm batch_norm trains end to end (`unet_parts.py:19-24`):
+    the running stats live in TrainState.stats_G, advance every step,
+    survive the checkpoint round trip, and feed the eval-mode forwards."""
+    import jax
+
+    opt = Options(batch_size=2, num_epochs=1, d_pretrain_epochs=0,
+                  unet_norm="batch_norm", train_input_size=112,
+                  log_every=1, pyramid_weight_list="0.2,0.4,0.6",
+                  result_dir_prefix=str(tmp_path / "run"))
+    opt.output_dir = str(tmp_path / "run")
+    os.makedirs(opt.output_dir, exist_ok=True)
+    trainer = GanTrainer(opt, video=False,
+                         source=SyntheticDataSource(size=112, n_items=2),
+                         use_mesh=False)
+    assert trainer.state.stats_G, "batch_norm init must create batch_stats"
+    init_mean = np.asarray(trainer.state.stats_G["inc"]["norm0"]["mean"])
+    trainer.train()
+    new_mean = np.asarray(trainer.state.stats_G["inc"]["norm0"]["mean"])
+    assert int(trainer.state.step) == 1
+    assert not np.allclose(init_mean, new_mean), \
+        "running stats must advance during training"
+    # checkpoint round trip restores the stats
+    from uncltmo_tpu.utils import checkpoint as ckpt
+    path = ckpt.latest_checkpoint(os.path.join(opt.output_dir, "models"))
+    restored, _ = ckpt.load_train_state(path, trainer.state)
+    np.testing.assert_array_equal(
+        np.asarray(restored.stats_G["inc"]["norm0"]["mean"]), new_mean)
+    # the eval-mode grid forward consumes the running stats without error
+    out, _ = trainer._grid_fwd(trainer._generator_variables(device=True),
+                               jax.numpy.zeros((1, 112, 112, 1)))
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_video_train_step_batch_norm():
+    """Video + batch_norm: the running stats ride the lax.scan carry (one
+    update per frame, like the reference's per-frame torch loop)."""
+    import jax
+    import jax.numpy as jnp
+    from uncltmo_tpu.models.discriminator import SimpleDiscriminator
+    from uncltmo_tpu.models.unet import UNetTMO, bottleneck_grid
+    from uncltmo_tpu.training.state import TrainState
+    from uncltmo_tpu.training.train_step import LossConfig, make_train_step
+
+    size = 112
+    gen = UNetTMO(unet_norm="batch_norm",
+                  gcn_grid=bottleneck_grid(size))
+    disc = SimpleDiscriminator(input_size=size)
+    g = jax.jit(gen.init)(jax.random.PRNGKey(0),
+                          jnp.zeros((1, size, size, 1)))
+    d = jax.jit(disc.init)(jax.random.PRNGKey(1),
+                           jnp.zeros((1, size, size, 1)))
+    state = TrainState.create(g["params"], d["params"],
+                              stats_G=g.get("batch_stats"))
+    step = make_train_step(gen, disc, LossConfig(video=True))
+    rng = np.random.default_rng(0)
+    batch = {k: jnp.asarray(rng.random((2, 2, size, size, 1), np.float32))
+             for k in ("hdr", "ldr_pos", "ldr_neg")}
+    new_state, logs = step(state, batch, jax.random.PRNGKey(2),
+                           1e-5, 1.5e-5, stage=0)
+    assert np.isfinite(float(logs["errG_d"]))
+    assert not np.allclose(
+        np.asarray(state.stats_G["inc"]["norm0"]["mean"]),
+        np.asarray(new_state.stats_G["inc"]["norm0"]["mean"]))
+
+
 def test_video_trainer_one_epoch(tmp_path):
     """Video GanTrainer end to end (orchestration, not just the raw step):
     recurrence + feature head through the fused loss, checkpoints and

@@ -156,6 +156,46 @@ class Options:
     output_dir: str = "."
 
 
+# ----------------------------------------------------------------------
+# Flags the reference parses and snapshots but never functionally
+# consumes — their only "uses" in the reference are commented out,
+# stored-but-never-read, or print-only.  They are kept so the published
+# launch scripts and run_settings snapshots stay compatible; changing
+# them changes nothing, and `tests/test_config.py` enforces that every
+# Options field is either consumed by this package or listed here.
+# ----------------------------------------------------------------------
+WRITE_ONLY_COMPAT = {
+    "epoch_to_save": "only use is commented out (`GanTrainer.py:532`)",
+    "gamma_log": "dir-name composition is commented out (`config.py:"
+                 "258-263`); the cluster-hardcoded lambda-path table "
+                 "(`model_save_util.py:655-682`) is superseded by the "
+                 "explicit --f_factor_path/--f_train_dict_path flags",
+    "use_factorise_data": "print-only (`printer.py:218`); passed to a "
+                          "legacy transform (`tranforms.py:236`) not on "
+                          "any live path — its functional twin "
+                          "factor_coeff IS consumed",
+    "use_new_f": "only picks entries in the superseded lambda-path table "
+                 "(`model_save_util.py:655-682`) and a commented-out "
+                 "dir-name suffix (`config.py:227-228`)",
+    "use_contrast_ratio_f": "stored by Tester/dataset but never read "
+                            "(`Tester.py:35`, `ProcessedDatasetFolder.py:"
+                            "258` — no further use)",
+    "use_hist_fit": "same superseded lambda-path selection "
+                    "(`config.py:231`, `model_save_util.py:655-682`)",
+    "strong_details_D_weights": "stored (`GanTrainer.py:108`) and never "
+                                "read again; the live slider weights are "
+                                "--adv_weight_list",
+    "basic_details_D_weights": "stored (`GanTrainer.py:109`) and never "
+                               "read again",
+    "struct_method": "stored on StructLoss (`struct_loss.py:21`) and "
+                     "never read; there is exactly one struct-loss "
+                     "formula in the reference",
+    "input_images_mean": "threaded to plot_util.save_groups_images "
+                         "(`Tester.py:148`) whose `image_mean` parameter "
+                         "is unused (`plot_util.py:104-128`)",
+}
+
+
 def parse_arguments(argv: Optional[List[str]] = None) -> Options:
     parser = argparse.ArgumentParser(description="Parser for gan network")
     for f in dataclasses.fields(Options):

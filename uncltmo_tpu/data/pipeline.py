@@ -143,7 +143,7 @@ class TrainDataSource:
                  srgb_video_glob: Optional[str] = None,
                  neg_ldr_glob: Optional[str] = None,
                  video_lambda_table: Optional[LambdaTable] = None,
-                 size: int = 256):
+                 size: int = 256, warn_missing_neg: bool = True):
         def _pool(pattern, what):
             if not pattern:
                 return []
@@ -160,7 +160,7 @@ class TrainDataSource:
         self.hdr_video = _pool(hdr_video_glob, "train-HDR-video")
         self.srgb_video = _pool(srgb_video_glob, "train-sRGB-video")
         self.neg_ldr = _pool(neg_ldr_glob, "negative-LDR (SICE)")
-        if not self.neg_ldr and self.ldr_files:
+        if not self.neg_ldr and self.ldr_files and warn_missing_neg:
             warnings.warn(
                 "no negative-LDR pool configured: ldr_neg will be drawn "
                 "from the POSITIVE pool, so the contrastive losses have no "

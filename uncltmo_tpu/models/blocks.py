@@ -31,6 +31,40 @@ from uncltmo_tpu import params
 xavier_gain2 = nn.initializers.variance_scaling(2.0, "fan_avg", "normal")
 
 
+def reference_normal_init(params_tree, rng, batch_norm: bool = False):
+    """The reference's NON-xavier init (`--use_xaviar 0`): every Conv /
+    Linear weight ~ N(0, 0.02^2) (`utils/model_save_util.py:26-38`,
+    applied via `net.apply(weights_init)` at `:58-61`), biases left as
+    built.  With `batch_norm=True` the BatchNorm branch is matched too:
+    norm scales ~ N(1, 0.02^2), norm biases 0 (`:32-38`; only BatchNorm —
+    torch's `classname.find('BatchNorm')` does not match InstanceNorm, and
+    our instance-norm flavor is parameter-compatible GroupNorm whose
+    params must NOT be touched).
+
+    Applied post-init by resampling leaves, so the module definitions keep
+    the published xavier default and this path costs nothing when unused.
+    """
+    from flax import traverse_util
+
+    flat = traverse_util.flatten_dict(params_tree)
+    out = {}
+    for i, path in enumerate(sorted(flat)):
+        leaf = flat[path]
+        k = jax.random.fold_in(rng, i)
+        name = path[-1]
+        parent = path[-2] if len(path) > 1 else ""
+        if name == "kernel":
+            leaf = 0.02 * jax.random.normal(k, leaf.shape, leaf.dtype)
+        elif batch_norm and parent.startswith("norm"):
+            if name == "scale":
+                leaf = 1.0 + 0.02 * jax.random.normal(k, leaf.shape,
+                                                      leaf.dtype)
+            elif name == "bias":
+                leaf = jnp.zeros_like(leaf)
+        out[path] = leaf
+    return traverse_util.unflatten_dict(out)
+
+
 def activation_fn(name: str):
     if name == "relu":
         return nn.relu

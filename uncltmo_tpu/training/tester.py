@@ -115,14 +115,23 @@ class Tester:
                               epoch: int, epoch_iter: int) -> Dict[str, float]:
         """1/4-epoch eval hook (`Tester.py:253-312`).  Evaluates the model
         bound at Tester construction with the given params (the engine is
-        model-bound; passing a different generator is not supported)."""
-        self.engine.update_variables({"params": params_G})
+        model-bound; passing a different generator is not supported).
+        `params_G` may be a bare param tree or a full variables dict
+        ({'params': ..., 'batch_stats': ...} for batch_norm models)."""
+        variables = (params_G if isinstance(params_G, dict)
+                     and "params" in params_G else {"params": params_G})
+        self.engine.update_variables(variables)
         metrics: Dict[str, float] = {}
         renders: Optional[List[np.ndarray]] = None
         if self.video and self.test_video_path and \
                 os.path.isdir(self.test_video_path):
-            tm, w1, w2 = self.eval_on_video_root(self.test_video_path)
+            tm, w1, w2, flow_info = self.eval_on_video_root(
+                self.test_video_path)
             metrics.update(tmqi=tm, warp_e1=w1, warp_e2=w2)
+            if flow_info:
+                # warp numbers are only comparable within one
+                # (flow_algo, flow_source) pair — record it next to them
+                metrics.update(flow_info)
             tag = f"m1st{tm}_m2nd{w1}_m3rd{w2}"
         elif self.original_hdr:
             # keep the rendered frames: the save loop below would otherwise
@@ -197,8 +206,16 @@ class Tester:
         return pair[0], pair[1]
 
     def eval_on_video_root(self, root: str, frames_per_scene: int = 6):
-        """Per-scene TMQI + warp error (`Tester.py:314-392`)."""
+        """Per-scene TMQI + warp error (`Tester.py:314-392`).
+
+        Returns (mean TMQI, mean E1, mean E2, flow_provenance) —
+        flow_provenance is {'flow_algo': ..., 'flow_source':
+        'baseline'|'self'} for the warp numbers (the paper protocol is
+        DeepFlow on the L1L0 baseline renders; anything else is a
+        documented deviation the caller must surface), or {} when no
+        scene had >= 2 frames."""
         tmqi_total, e1_total, e2_total, n = 0.0, 0.0, 0.0, 0
+        flow_info: Dict[str, str] = {}
         for scene in sorted(os.listdir(root)):
             scene_dir = os.path.join(root, scene)
             if not os.path.isdir(scene_dir):
@@ -234,12 +251,14 @@ class Tester:
             tmqi_total += scene_q / len(names)
             if len(rendered) >= 2:
                 src0, src1 = self._baseline_flow_pair(scene, names[:2])
-                e1, e2 = compute_warp_error(rendered[0], rendered[1],
-                                            flow_source0=src0,
-                                            flow_source1=src1)
+                e1, e2, info = compute_warp_error(rendered[0], rendered[1],
+                                                  flow_source0=src0,
+                                                  flow_source1=src1,
+                                                  with_provenance=True)
                 e1_total += e1
                 e2_total += e2
+                flow_info = info
             n += 1
         if n == 0:
-            return 0.0, 0.0, 0.0
-        return tmqi_total / n, e1_total / n, e2_total / n
+            return 0.0, 0.0, 0.0, {}
+        return tmqi_total / n, e1_total / n, e2_total / n, flow_info

@@ -73,8 +73,16 @@ class GanTrainer:
             raise ValueError(
                 "add_frame training is not supported (the reference path "
                 "is unused/inconsistent; published configs use add_frame=0)")
-        self.input_size = int(getattr(opt, "train_input_size", 0)) \
-            or P.INPUT_SIZE
+        # final_shape_addition widens the TRAIN input like the reference's
+        # `input_size = params.input_size + opt.final_shape_addition`
+        # (`main_train.py:25`); must keep the U-Net's /16 grid
+        addition = int(getattr(opt, "final_shape_addition", 0))
+        if addition % 16:
+            raise ValueError(
+                f"final_shape_addition={addition} breaks the U-Net's "
+                "stride-16 grid; use a multiple of 16")
+        self.input_size = (int(getattr(opt, "train_input_size", 0))
+                           or P.INPUT_SIZE) + addition
         gen_overrides = {}
         disc_overrides = {}
         if self.input_size != P.INPUT_SIZE:
@@ -122,7 +130,18 @@ class GanTrainer:
         d_size = size if opt.d_model in ("simpleD", "patchD") else P.INPUT_SIZE
         d_vars = jax.jit(self.disc.init)(
             kd, jnp.zeros((1, d_size, d_size, opt.output_dim)))
-        self.state = TrainState.create(g_vars["params"], d_vars["params"])
+        if not int(getattr(opt, "use_xaviar", 1)):
+            # --use_xaviar 0: the reference's DCGAN-style N(0, 0.02) init
+            # (`model_save_util.py:26-38`) instead of xavier gain sqrt(2)
+            from uncltmo_tpu.models.blocks import reference_normal_init
+            g_vars["params"] = reference_normal_init(
+                g_vars["params"], jax.random.fold_in(kg, 1),
+                batch_norm=(opt.unet_norm == "batch_norm"))
+            d_vars["params"] = reference_normal_init(
+                d_vars["params"], jax.random.fold_in(kd, 1),
+                batch_norm=(opt.d_norm == "batch_norm"))
+        self.state = TrainState.create(g_vars["params"], d_vars["params"],
+                                       stats_G=g_vars.get("batch_stats"))
 
         # ---- data
         if source is None:
@@ -133,6 +152,11 @@ class GanTrainer:
         self.pipeline = TrainPipeline(
             source, opt.batch_size, seed=opt.manual_seed,
             workers=int(getattr(opt, "data_workers", 0)))
+        # held-out grid source: the reference's 1/4-epoch sample grid draws
+        # from DEDICATED test loaders over test_dataroot_npy/_ldr
+        # (`Tester.py:126-148`, `data_loader_util.py:89-112`), not the
+        # training pools; None -> grid falls back to the training source
+        self.test_source = self._build_test_source()
 
         # ---- mesh over the validated data_parallel device count
         self.mesh = None
@@ -212,6 +236,26 @@ class GanTrainer:
             srgb_video_glob=srgb_video_glob,
             neg_ldr_glob=neg_glob,
             video_lambda_table=video_lam,
+            size=self.input_size)
+
+    def _build_test_source(self) -> Optional[TrainDataSource]:
+        """Held-out source over --test_dataroot_npy/--test_dataroot_ldr for
+        the sample grids (`load_test_data`, `data_loader_util.py:89-112`:
+        same dataset class, same lambda dict, hdr/ldr modes, no video or
+        negative pools).  None when either dir has no .npy files — the
+        reference would crash on an empty test glob; the grid here degrades
+        to the training source instead (a missing test set must not kill a
+        training run whose real work is unaffected)."""
+        opt = self.opt
+        hdr_glob = os.path.join(opt.test_dataroot_npy or "", "*.npy")
+        ldr_glob = os.path.join(opt.test_dataroot_ldr or "", "*.npy")
+        if not (glob.glob(hdr_glob) and glob.glob(ldr_glob)):
+            return None
+        return TrainDataSource(
+            hdr_glob=hdr_glob, ldr_glob=ldr_glob,
+            lambda_table=LambdaTable(opt.f_train_dict_path,
+                                     opt.factor_coeff),
+            normalization=opt.normalization,
             size=self.input_size)
 
     def _put(self, batch):
@@ -362,7 +406,7 @@ class GanTrainer:
              if not k.startswith(("gradG/", "fake/"))})
         if self.tester is not None:
             self.tester.save_images_for_model(
-                self._generator_params(), self.opt.output_dir,
+                self._generator_variables(), self.opt.output_dir,
                 epoch, epoch_iter)
         save_args = (os.path.join(self.opt.output_dir, P.MODELS_SAVE_PATH),
                      epoch, epoch_iter, self.state)
@@ -396,10 +440,12 @@ class GanTrainer:
 
     def _save_sample_grid(self, epoch: int, epoch_iter: int):
         """Sample grid of (hdr input, fake, ldr pos) like the reference's
-        `Tester.save_test_images` (`Tester.py:126-148`)."""
+        `Tester.save_test_images` (`Tester.py:126-148`) — drawn from the
+        held-out test dirs when configured, else from the training source."""
         from uncltmo_tpu.utils.logging import save_image_grid
         rng = np.random.default_rng(epoch)
-        items = [self.pipeline.source.sample(rng) for _ in range(2)]
+        grid_source = self.test_source or self.pipeline.source
+        items = [grid_source.sample(rng) for _ in range(2)]
         batch = {k: np.stack([it[k] for it in items]) for k in items[0]}
         if self.opt.manual_d_training:
             # the grid's own derived stream (3), keyed on the hook's
@@ -408,7 +454,7 @@ class GanTrainer:
             batch = self._maybe_add_weight_channel(batch, pretrain=False,
                                                    stream=3)
         hdr = jnp.asarray(batch["hdr"][:, 0])
-        fake, _ = self._grid_fwd({"params": self.state.params_G}, hdr)
+        fake, _ = self._grid_fwd(self._generator_variables(device=True), hdr)
         images, titles = [], []
         for i in range(hdr.shape[0]):
             images += [np.asarray(hdr[i][..., :1]), np.asarray(fake[i]),
@@ -421,6 +467,15 @@ class GanTrainer:
 
     def _generator_params(self):
         return jax.device_get(self.state.params_G)
+
+    def _generator_variables(self, device: bool = False):
+        """Full inference variables for the current generator: params plus
+        the batch-norm running stats when the model has them (eval-mode
+        forwards normalize by the running stats, torch .eval() semantics)."""
+        v = {"params": self.state.params_G}
+        if self.state.stats_G:
+            v["batch_stats"] = self.state.stats_G
+        return v if device else jax.device_get(v)
 
     def run_final_assessment(self, input_images_path: str,
                              f_factor_path: str, scale: int = 4):
@@ -435,7 +490,7 @@ class GanTrainer:
                                f"final_{self.opt.final_epoch}",
                                "color_stretch")
         runner = InferenceRunner(model_params, net_path="",
-                                 params_G=self._generator_params())
+                                 params_G=self._generator_variables())
         outs = runner.run_on_path(input_images_path, out_dir,
                                   f_factor_path, scale=scale)
         if self.opt.fid_real_path and os.path.isdir(self.opt.fid_real_path):
@@ -445,8 +500,19 @@ class GanTrainer:
                 fid = calculate_fid_given_paths(
                     [self.opt.fid_real_path, out_dir],
                     weights_path=None if weights == "none" else weights)
-                np.save(os.path.join(self.opt.output_dir, "fid_results.npy"),
-                        {model_params["model_name"]: fid})
+                # merge into the shared results dict at --fid_res_path,
+                # reference semantics (`GanTrainer.py:574-580`: load,
+                # update by model name, re-save)
+                res_path = self.opt.fid_res_path
+                if not os.path.isabs(res_path):
+                    res_path = os.path.join(self.opt.output_dir, res_path)
+                if not res_path.endswith(".npy"):
+                    res_path += ".npy"
+                data = {}
+                if os.path.exists(res_path):
+                    data = np.load(res_path, allow_pickle=True)[()]
+                data[model_params["model_name"]] = fid
+                np.save(res_path, data)
             except Exception as e:
                 # FID is an optional post-training report; a bad weights
                 # path (FileNotFoundError), an empty image dir (ValueError)
