@@ -11,15 +11,20 @@ from uncltmo_tpu.training.trainer import GanTrainer
 
 
 def test_trainer_one_epoch(tmp_path):
+    # 112 px like the other orchestration tests: every assertion here is
+    # about bookkeeping (steps, metric stream, checkpoints), not geometry,
+    # and a 256-px step costs minutes of execution on a 1-core CPU host
+    # (the published 256 geometry is covered by the slow-tier e2e tests)
     opt = Options(batch_size=2, num_epochs=1, d_pretrain_epochs=0,
                   G_lr=1e-5, D_lr=1.5e-5, lr_decay_step=50,
                   loss_g_d_factor=0.1, pyramid_weight_list="0.2,0.4,0.6",
                   adv_weight_list="1,1,0", log_every=1,
+                  train_input_size=112,
                   result_dir_prefix=str(tmp_path / "run"))
     opt.output_dir = str(tmp_path / "run")
     os.makedirs(opt.output_dir, exist_ok=True)
     trainer = GanTrainer(opt, video=False,
-                         source=SyntheticDataSource(n_items=4),
+                         source=SyntheticDataSource(n_items=4, size=112),
                          use_mesh=False)
     trainer.train()
     assert int(trainer.state.step) == 2  # 4 items / batch 2
@@ -37,7 +42,7 @@ def test_trainer_one_epoch(tmp_path):
 
     # resume restores without error
     trainer2 = GanTrainer(opt, video=False,
-                          source=SyntheticDataSource(n_items=4),
+                          source=SyntheticDataSource(n_items=4, size=112),
                           use_mesh=False)
     trainer2.load_checkpoint()
     assert int(trainer2.state.step) == 2
@@ -51,11 +56,12 @@ def test_grad_flow_logs_and_diagnostic_plots(tmp_path):
                   G_lr=1e-5, D_lr=1.5e-5, lr_decay_step=50,
                   loss_g_d_factor=0.1, pyramid_weight_list="0.2,0.4,0.6",
                   adv_weight_list="1,1,0", log_every=1,
+                  train_input_size=112,
                   result_dir_prefix=str(tmp_path / "run"))
     opt.output_dir = str(tmp_path / "run")
     os.makedirs(opt.output_dir, exist_ok=True)
     trainer = GanTrainer(opt, video=False,
-                         source=SyntheticDataSource(n_items=2),
+                         source=SyntheticDataSource(n_items=2, size=112),
                          use_mesh=False)
     trainer.train()
     recs = [json.loads(l) for l in
@@ -415,17 +421,19 @@ def test_kill_and_resume_reproduces_trajectory(tmp_path):
 
     def make_source():
         from uncltmo_tpu.data.pipeline import SyntheticDataSource
-        return SyntheticDataSource(n_items=8, size=112)
+        return SyntheticDataSource(n_items=4, size=112)
 
-    # ---- run A: uninterrupted (2 epochs x 4 steps)
+    # ---- run A: uninterrupted (2 epochs x 2 steps)
     opt_a = make_opt(tmp_path / "a")
     GanTrainer(opt_a, video=False, source=make_source(),
                use_mesh=False).train()
     traj_a = _loss_trajectory(opt_a.output_dir)
-    assert set(traj_a) == set(range(1, 9))
+    assert set(traj_a) == set(range(1, 5))
 
-    # ---- run B: killed at the start of iter 3 (epoch 0, after the
-    # iter-2 checkpoint), then resumed from disk
+    # ---- run B: killed at the start of iter 2 (MID-epoch 0, after the
+    # iter-1 checkpoint), then resumed from disk; the resumed run must
+    # both finish epoch 0 mid-way (iter 2) and roll over into epoch 1
+    # (iters 3-4)
     opt_b = make_opt(tmp_path / "b")
     tr_b = GanTrainer(opt_b, video=False, source=make_source(),
                       use_mesh=False)
@@ -433,7 +441,7 @@ def test_kill_and_resume_reproduces_trajectory(tmp_path):
     calls = {"n": 0}
 
     def killing_step(*a, **kw):
-        if calls["n"] == 2:
+        if calls["n"] == 1:
             raise KeyboardInterrupt
         calls["n"] += 1
         return orig_step(*a, **kw)
@@ -447,9 +455,9 @@ def test_kill_and_resume_reproduces_trajectory(tmp_path):
     tr_b2 = GanTrainer(opt_b2, video=False, source=make_source(),
                        use_mesh=False)
     tr_b2.train()
-    assert int(tr_b2.state.step) == 8
+    assert int(tr_b2.state.step) == 4
     traj_b = _loss_trajectory(opt_b2.output_dir)
-    for it in range(3, 9):
+    for it in range(2, 5):
         np.testing.assert_allclose(traj_b[it], traj_a[it], rtol=1e-6,
                                    err_msg=f"iter {it} diverged after "
                                            "resume")

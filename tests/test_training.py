@@ -9,30 +9,39 @@ import pytest
 from uncltmo_tpu.config import Options
 from uncltmo_tpu.data.pipeline import SyntheticDataSource, TrainPipeline
 from uncltmo_tpu.models.discriminator import make_discriminator
-from uncltmo_tpu.models.unet import make_generator
+from uncltmo_tpu.models.unet import bottleneck_grid, make_generator
 from uncltmo_tpu.parallel import mesh as pmesh
 from uncltmo_tpu.training.state import TrainState, lr_schedule
 from uncltmo_tpu.training.train_step import (LossConfig, make_train_step,
                                              stage_for_epoch)
 
 
+# Smoke tests run at 112 px: every assertion here is size-independent
+# (finite losses, param movement, G frozen under pretrain), and a 256-px
+# train step costs minutes of pure execution on a 1-core CPU host.  The
+# published 256-px geometry is exercised by the slow-tier parity / e2e
+# tests and by the trainer tests' own 256 defaults where it matters.
+SMOKE_SIZE = 112
+
+
 @pytest.fixture(scope="module")
 def setup():
     opt = Options(batch_size=2, loss_g_d_factor=0.1,
+                  train_input_size=SMOKE_SIZE,
                   pyramid_weight_list="0.2,0.4,0.6")
-    gen = make_generator(opt)
-    disc = make_discriminator(opt)
+    gen = make_generator(opt, gcn_grid=bottleneck_grid(SMOKE_SIZE))
+    disc = make_discriminator(opt, input_size=SMOKE_SIZE)
     kg, kd = jax.random.split(jax.random.PRNGKey(0))
-    g_vars = jax.jit(gen.init)(kg, jnp.zeros((1, 256, 256, 1)))
-    d_vars = jax.jit(disc.init)(kd, jnp.zeros((1, 256, 256, 1)))
+    g_vars = jax.jit(gen.init)(kg, jnp.zeros((1, SMOKE_SIZE, SMOKE_SIZE, 1)))
+    d_vars = jax.jit(disc.init)(kd, jnp.zeros((1, SMOKE_SIZE, SMOKE_SIZE, 1)))
     state = TrainState.create(g_vars["params"], d_vars["params"])
     cfg = LossConfig(pyramid_weights=(0.2, 0.4, 0.6))
     step = make_train_step(gen, disc, cfg)
     return state, step
 
 
-def _batch(rng, b=2):
-    src = SyntheticDataSource()
+def _batch(rng, b=2, size=SMOKE_SIZE):
+    src = SyntheticDataSource(size=size)
     items = [src.sample(rng) for _ in range(b)]
     return {k: jnp.asarray(np.stack([it[k] for it in items]))
             for k in items[0]}
@@ -255,26 +264,30 @@ def test_video_engine_sharded_matches_unsharded():
     from uncltmo_tpu.models.unet import UNetTMO
     from uncltmo_tpu.parallel import mesh as pmesh
 
-    model = UNetTMO()
-    variables = jax.jit(model.init)(jax.random.PRNGKey(0),
-                                    jnp.zeros((1, 256, 256, 1)))
+    # a real (recurrent) UNet, shrunk to 112-px tiles so the CPU mesh
+    # comparison stays in smoke-test territory — the sharded-vs-unsharded
+    # equality being asserted is independent of tile geometry
+    model = UNetTMO(gcn_grid=bottleneck_grid(SMOKE_SIZE))
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, SMOKE_SIZE, SMOKE_SIZE, 1)))
     scenes = jnp.asarray(
-        np.random.default_rng(5).random((2, 2, 272, 272, 1))
+        np.random.default_rng(5).random((2, 2, 128, 128, 1))
         .astype(np.float32))
-    ref = TileEngine(model, variables, chunk=4).run_videos(scenes)
+    kw = dict(tile=SMOKE_SIZE, overlap=32, chunk=4)
+    ref = TileEngine(model, variables, **kw).run_videos(scenes)
     mesh = pmesh.get_mesh()
-    out = TileEngine(model, variables, chunk=4, mesh=mesh).run_videos(scenes)
+    out = TileEngine(model, variables, mesh=mesh, **kw).run_videos(scenes)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
 def test_train_step_video(rng):
     """Video trainer path: recurrence + per-frame feature head in the loss."""
-    opt = Options(batch_size=1)
-    gen = make_generator(opt)
-    disc = make_discriminator(opt)
+    opt = Options(batch_size=1, train_input_size=SMOKE_SIZE)
+    gen = make_generator(opt, gcn_grid=bottleneck_grid(SMOKE_SIZE))
+    disc = make_discriminator(opt, input_size=SMOKE_SIZE)
     kg, kd = jax.random.split(jax.random.PRNGKey(0))
-    g_vars = jax.jit(gen.init)(kg, jnp.zeros((1, 256, 256, 1)))
-    d_vars = jax.jit(disc.init)(kd, jnp.zeros((1, 256, 256, 1)))
+    g_vars = jax.jit(gen.init)(kg, jnp.zeros((1, SMOKE_SIZE, SMOKE_SIZE, 1)))
+    d_vars = jax.jit(disc.init)(kd, jnp.zeros((1, SMOKE_SIZE, SMOKE_SIZE, 1)))
     state = TrainState.create(g_vars["params"], d_vars["params"])
     cfg = LossConfig(pyramid_weights=(0.2, 0.4, 0.6), video=True)
     step = make_train_step(gen, disc, cfg)
