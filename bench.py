@@ -309,6 +309,9 @@ def measure_trainer_loop_sps(batch: int = 8, steps: int = 50) -> dict:
     dt = time.perf_counter() - t0
     if trainer._ckpt_saver is not None:
         trainer._ckpt_saver.wait()
+    # summary plots/grids render on the host worker, off the timed path —
+    # drain before checking the artifacts they produce
+    trainer._host_worker.wait()
 
     metrics_path = os.path.join(opt.output_dir, "train_metrics.jsonl")
     finite = False

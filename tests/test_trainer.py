@@ -535,3 +535,94 @@ def test_checkpoint_writes_are_atomic(tmp_path, monkeypatch):
     assert ckpt.latest_checkpoint(str(models)) == good
     restored, meta = ckpt.load_train_state(good, state)
     assert int(restored.step) == 3 and meta["epoch"] == 1
+
+
+def test_sample_grid_draws_from_held_out_dirs(tmp_path):
+    """With --test_dataroot_npy/_ldr populated, the 1/4-epoch sample grid
+    must sample the DEDICATED held-out source (`Tester.py:126-148`,
+    `load_test_data` `data_loader_util.py:89-112`), never the training
+    source; with the dirs absent it degrades to the training source."""
+    rng = np.random.default_rng(3)
+    test_hdr = tmp_path / "test_hdr"; test_hdr.mkdir()
+    test_ldr = tmp_path / "test_ldr"; test_ldr.mkdir()
+    lams = {}
+    for i in range(2):
+        np.save(test_hdr / f"t{i}.npy",
+                (rng.random((256, 256, 3)) * 500 + 1).astype(np.float32))
+        np.save(test_ldr / f"l{i}.npy",
+                np.full((256, 256, 3), 150.0, np.float32))
+        lams[f"t{i}"] = 40.0
+    np.save(tmp_path / "lams.npy", lams)
+
+    opt = Options(batch_size=2, num_epochs=1, d_pretrain_epochs=0,
+                  train_input_size=112,
+                  test_dataroot_npy=str(test_hdr),
+                  test_dataroot_ldr=str(test_ldr),
+                  f_train_dict_path=str(tmp_path / "lams.npy"),
+                  result_dir_prefix=str(tmp_path / "run"))
+    opt.output_dir = str(tmp_path / "run")
+    os.makedirs(opt.output_dir, exist_ok=True)
+    trainer = GanTrainer(opt, video=False,
+                         source=SyntheticDataSource(n_items=2, size=112),
+                         use_mesh=False)
+    assert trainer.test_source is not None
+
+    # the training source must not be touched by the grid
+    def boom(*a, **k):
+        raise AssertionError("grid sampled the TRAINING source")
+    trainer.pipeline.source.sample = boom
+    trainer._save_sample_grid(epoch=0, epoch_iter=0)
+    from uncltmo_tpu import params as P
+    out = os.path.join(opt.output_dir, P.RESULTS_PATH,
+                       "images_epoch0_iter0", "grid.png")
+    assert os.path.exists(out)
+
+    # without test dirs the grid falls back to the training source
+    opt2 = Options(batch_size=2, num_epochs=1, d_pretrain_epochs=0,
+                   train_input_size=112,
+                   test_dataroot_npy=str(tmp_path / "missing"),
+                   test_dataroot_ldr=str(tmp_path / "missing"),
+                   result_dir_prefix=str(tmp_path / "run2"))
+    opt2.output_dir = str(tmp_path / "run2")
+    os.makedirs(opt2.output_dir, exist_ok=True)
+    trainer2 = GanTrainer(opt2, video=False,
+                          source=SyntheticDataSource(n_items=2, size=112),
+                          use_mesh=False)
+    assert trainer2.test_source is None
+
+
+def test_async_host_worker_contract():
+    """AsyncHostWorker runs tasks in submit order, re-raises a worker-side
+    failure on wait() exactly once, and bounds its pending queue
+    (a slow host backpressures instead of accumulating without limit)."""
+    import threading
+    import time as _time
+
+    from uncltmo_tpu.utils.logging import AsyncHostWorker
+
+    w = AsyncHostWorker(max_pending=2)
+    ran = []
+    for i in range(6):
+        w.submit(ran.append, i)
+    w.wait()
+    assert ran == list(range(6))
+
+    # error propagation: surfaces on wait(), then is reaped
+    w.submit(lambda: (_ for _ in ()).throw(RuntimeError("render failed")))
+    with pytest.raises(RuntimeError, match="render failed"):
+        w.wait()
+    w.wait()  # reaped failure must not re-raise forever
+
+    # backpressure: with max_pending=2, a third submit blocks until a
+    # slot frees; pending never exceeds the bound
+    gate = threading.Event()
+    w.submit(gate.wait)
+    w.submit(ran.append, "queued")
+    t0 = _time.perf_counter()
+    release = threading.Timer(0.3, gate.set)
+    release.start()
+    w.submit(ran.append, "after-gate")   # must block ~0.3s on the gate
+    assert _time.perf_counter() - t0 > 0.15
+    assert len(w._pending) <= 2
+    w.wait()
+    assert ran[-2:] == ["queued", "after-gate"]

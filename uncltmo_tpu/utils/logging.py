@@ -8,9 +8,62 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 from collections import defaultdict
 from typing import Dict, Optional
+
+# Serializes every pyplot-touching body in this module: the trainer renders
+# its 1/4-epoch plots on an AsyncHostWorker thread while the Tester (main
+# thread) may render grids of its own, and pyplot's figure registry is
+# global mutable state.
+_MPL_LOCK = threading.RLock()
+
+
+class AsyncHostWorker:
+    """Single-thread executor for host work that must not ride the training
+    critical path (plot rendering, sample-grid forward/fetch/encode).
+
+    Same error contract as `checkpoint.AsyncSaver`: a failed task re-raises
+    on a later `submit()` or on `wait()`; call `wait()` before reading the
+    artifacts back or exiting (the trainer drains in a finally).  The
+    pending list is bounded — a host slower than the summary cadence
+    backpressures the trainer instead of accumulating unrendered figures
+    without limit."""
+
+    def __init__(self, max_pending: int = 4):
+        from concurrent.futures import ThreadPoolExecutor
+        self._pool = ThreadPoolExecutor(max_workers=1,
+                                        thread_name_prefix="host-worker")
+        self._pending = []
+        self._max = max_pending
+
+    def submit(self, fn, *args, **kwargs):
+        self._reap(block=False)
+        while len(self._pending) >= self._max:
+            self._pending.pop(0).result()
+        fut = self._pool.submit(fn, *args, **kwargs)
+        self._pending.append(fut)
+        return fut
+
+    def _reap(self, block: bool):
+        rest = []
+        try:
+            for i, f in enumerate(self._pending):
+                if block or f.done():
+                    f.result()   # re-raises a worker-side failure
+                else:
+                    rest.append(f)
+        except BaseException:
+            rest.extend(self._pending[i + 1:])
+            raise
+        finally:
+            self._pending = rest
+
+    def wait(self):
+        """Block until every enqueued task has run; re-raise the first
+        failure."""
+        self._reap(block=True)
 
 
 class MetricsLogger:
@@ -29,30 +82,39 @@ class MetricsLogger:
         self._f.write(json.dumps(rec) + "\n")
         self._f.flush()
 
-    def plot(self, loss_dir: str, title: str) -> Optional[str]:
-        """Loss curves (reference `plot_util.plot_general_losses`)."""
+    def snapshot(self) -> Dict[str, list]:
+        """Point-in-time copy of the history for plotting off-thread (the
+        main thread keeps appending while an AsyncHostWorker renders)."""
+        return {k: list(v) for k, v in self.history.items()}
+
+    def plot(self, loss_dir: str, title: str,
+             history: Optional[Dict[str, list]] = None) -> Optional[str]:
+        """Loss curves (reference `plot_util.plot_general_losses`).
+        `history` takes a `snapshot()` when rendering on a worker thread."""
         try:
             import matplotlib
             matplotlib.use("Agg")
             import matplotlib.pyplot as plt
         except Exception:
             return None
+        hist_by_key = self.history if history is None else history
         os.makedirs(loss_dir, exist_ok=True)
-        fig, ax = plt.subplots(figsize=(10, 5))
-        for k, hist in self.history.items():
-            if not hist or k.startswith(("gradG/", "fake/")):
-                # per-layer grad scalars have their own bar plot; fake/
-                # tensor stats are diagnostics, not losses
-                continue
-            steps, vals = zip(*hist)
-            ax.plot(steps, vals, label=k)
-        ax.set_xlabel("iterations")
-        ax.set_ylabel("loss")
-        ax.set_title(title)
-        ax.legend()
-        out = os.path.join(loss_dir, title.replace(" ", "_") + ".png")
-        fig.savefig(out)
-        plt.close(fig)
+        with _MPL_LOCK:
+            fig, ax = plt.subplots(figsize=(10, 5))
+            for k, hist in hist_by_key.items():
+                if not hist or k.startswith(("gradG/", "fake/")):
+                    # per-layer grad scalars have their own bar plot; fake/
+                    # tensor stats are diagnostics, not losses
+                    continue
+                steps, vals = zip(*hist)
+                ax.plot(steps, vals, label=k)
+            ax.set_xlabel("iterations")
+            ax.set_ylabel("loss")
+            ax.set_title(title)
+            ax.legend()
+            out = os.path.join(loss_dir, title.replace(" ", "_") + ".png")
+            fig.savefig(out)
+            plt.close(fig)
         return out
 
     def close(self):
@@ -84,20 +146,21 @@ def plot_grad_flow(grads, out_dir: str, tag: str) -> Optional[str]:
         ave_grads.append(float(np.abs(np.asarray(leaf)).mean()))
     if not layers:
         return None
-    fig, ax = plt.subplots(figsize=(max(6, 0.35 * len(layers)), 5))
-    ax.plot(ave_grads, alpha=0.3, color="b")
-    ax.hlines(0, 0, len(ave_grads) + 1, linewidth=1, color="k")
-    ax.set_xticks(range(len(layers)))
-    ax.set_xticklabels(layers, rotation="vertical", fontsize=6)
-    ax.set_xlim(0, len(ave_grads))
-    ax.set_xlabel("Layers")
-    ax.set_ylabel("average gradient")
-    ax.set_title("Gradient flow")
-    ax.grid(True)
     os.makedirs(out_dir, exist_ok=True)
-    out = os.path.join(out_dir, f"grad_flow_{tag}.png")
-    fig.savefig(out, bbox_inches="tight")
-    plt.close(fig)
+    with _MPL_LOCK:
+        fig, ax = plt.subplots(figsize=(max(6, 0.35 * len(layers)), 5))
+        ax.plot(ave_grads, alpha=0.3, color="b")
+        ax.hlines(0, 0, len(ave_grads) + 1, linewidth=1, color="k")
+        ax.set_xticks(range(len(layers)))
+        ax.set_xticklabels(layers, rotation="vertical", fontsize=6)
+        ax.set_xlim(0, len(ave_grads))
+        ax.set_xlabel("Layers")
+        ax.set_ylabel("average gradient")
+        ax.set_title("Gradient flow")
+        ax.grid(True)
+        out = os.path.join(out_dir, f"grad_flow_{tag}.png")
+        fig.savefig(out, bbox_inches="tight")
+        plt.close(fig)
     return out
 
 
@@ -112,16 +175,17 @@ def plot_general_accuracy(acc_G, acc_D_fake, acc_D_real, title: str,
         import matplotlib.pyplot as plt
     except Exception:
         return None
-    fig, ax = plt.subplots()
-    ax.plot(range(len(acc_D_fake)), acc_D_fake, "-r", label="acc D fake")
-    ax.plot(range(len(acc_D_real)), acc_D_real, "-b", label="acc D real")
-    ax.set_xlabel("n iteration")
-    ax.legend(loc="upper left")
-    ax.set_title(title)
     os.makedirs(path, exist_ok=True)
-    out = os.path.join(path, title.replace(" ", "_") + ".png")
-    fig.savefig(out)
-    plt.close(fig)
+    with _MPL_LOCK:
+        fig, ax = plt.subplots()
+        ax.plot(range(len(acc_D_fake)), acc_D_fake, "-r", label="acc D fake")
+        ax.plot(range(len(acc_D_real)), acc_D_real, "-b", label="acc D real")
+        ax.set_xlabel("n iteration")
+        ax.legend(loc="upper left")
+        ax.set_title(title)
+        out = os.path.join(path, title.replace(" ", "_") + ".png")
+        fig.savefig(out)
+        plt.close(fig)
     return out
 
 
@@ -152,16 +216,17 @@ def save_image_grid(images, path: str, cols: int = 4,
         return None
     images = [np.clip(np.squeeze(np.asarray(im)), 0, 1) for im in images]
     rows = -(-len(images) // cols)
-    fig, axes = plt.subplots(rows, cols, figsize=(3 * cols, 3 * rows))
-    axes = np.atleast_1d(axes).reshape(-1)
-    for ax in axes:
-        ax.axis("off")
-    for i, im in enumerate(images):
-        axes[i].imshow(im, cmap="gray" if im.ndim == 2 else None,
-                       vmin=0, vmax=1)
-        if titles and i < len(titles):
-            axes[i].set_title(titles[i], fontsize=8)
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    fig.savefig(path, bbox_inches="tight")
-    plt.close(fig)
+    with _MPL_LOCK:
+        fig, axes = plt.subplots(rows, cols, figsize=(3 * cols, 3 * rows))
+        axes = np.atleast_1d(axes).reshape(-1)
+        for ax in axes:
+            ax.axis("off")
+        for i, im in enumerate(images):
+            axes[i].imshow(im, cmap="gray" if im.ndim == 2 else None,
+                           vmin=0, vmax=1)
+            if titles and i < len(titles):
+                axes[i].set_title(titles[i], fontsize=8)
+        fig.savefig(path, bbox_inches="tight")
+        plt.close(fig)
     return path
