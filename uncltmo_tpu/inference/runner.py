@@ -68,26 +68,11 @@ def postprocess_device(rgb_padded: jnp.ndarray, fake: jnp.ndarray,
     return color.to_01_outlier(im_color)
 
 
-def _enable_compile_cache() -> None:
-    """Persistent XLA compilation cache for inference runs.
-
-    Dataset evaluation compiles one tiled program per distinct padded
-    (H, W) — tens of shapes at ~20-40 s of first-compile each on the
-    remote backend.  Caching them on disk makes every rerun start hot.
-    Respects an existing user configuration."""
-    import jax
-    if jax.config.jax_compilation_cache_dir:
-        return
-    cache = os.environ.get(
-        "UNCLTMO_JAX_CACHE",
-        os.path.join(os.path.expanduser("~"), ".cache", "uncltmo_tpu",
-                     "jax_cache"))
-    try:
-        os.makedirs(cache, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-    except Exception:
-        pass  # cache is an optimization, never a requirement
+# Dataset evaluation compiles one tiled program per distinct padded
+# (H, W) — tens of shapes at ~20-40 s of first-compile each on the remote
+# backend; the shared persistent cache makes every rerun start hot.
+from uncltmo_tpu.utils.bootstrap import \
+    enable_compile_cache as _enable_compile_cache
 
 
 class _BoundedSaver:

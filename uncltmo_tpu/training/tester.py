@@ -32,6 +32,8 @@ class Tester:
     def __init__(self, opt: Options, model, video: bool = False,
                  test_video_path: Optional[str] = None,
                  dtype=jnp.float32):
+        from uncltmo_tpu.utils.bootstrap import enable_compile_cache
+        enable_compile_cache()   # one tiled program per eval (H, W) shape
         self.opt = opt
         self.video = video
         self.test_video_path = test_video_path

@@ -38,6 +38,8 @@ from uncltmo_tpu.utils.logging import (AsyncHostWorker, MetricsLogger,
 class GanTrainer:
     def __init__(self, opt: Options, video: bool = False, source=None,
                  tester=None, use_mesh: bool = True):
+        from uncltmo_tpu.utils.bootstrap import enable_compile_cache
+        enable_compile_cache()   # train-step compiles amortize across runs
         self.opt = opt
         self.video = video
         self.tester = tester
