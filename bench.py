@@ -310,15 +310,25 @@ def measure_trainer_loop_sps(batch: int = 8, steps: int = 50) -> dict:
     trainer = GanTrainer(opt, video=False,
                          source=SyntheticDataSource(n_items=batch * steps))
     trainer.train_epoch(0)                     # compile + warm pipeline
+    # drain epoch 0's async summary work before timing: its FIRST sample-
+    # grid render pays the grid forward's jit compile (~20 s uncached),
+    # which otherwise backpressures epoch 1's summary hook into the timed
+    # window (round-4's 1.38 steps/s was exactly this)
+    if trainer._ckpt_saver is not None:
+        trainer._ckpt_saver.wait()
+    trainer._host_worker.wait()
     t0 = time.perf_counter()
     trainer.train_epoch(1)
     jax.block_until_ready(trainer.state.params_G)
     dt = time.perf_counter() - t0
+    # summary plots/grids render on the host worker, off the timed path —
+    # time the residual drain separately (honesty: in a real run this
+    # overlaps the next epoch; in a 1-epoch bench it is exposed)
+    t1 = time.perf_counter()
     if trainer._ckpt_saver is not None:
         trainer._ckpt_saver.wait()
-    # summary plots/grids render on the host worker, off the timed path —
-    # drain before checking the artifacts they produce
     trainer._host_worker.wait()
+    drain_s = time.perf_counter() - t1
 
     metrics_path = os.path.join(opt.output_dir, "train_metrics.jsonl")
     finite = False
@@ -339,10 +349,87 @@ def measure_trainer_loop_sps(batch: int = 8, steps: int = 50) -> dict:
     rt_err = max(float(np.max(np.abs(np.asarray(a, np.float32) -
                                      np.asarray(b, np.float32))))
                  for a, b in zip(flat_a, flat_b))
+    # wall breakdown of the timed epoch (trainer.last_epoch_timings):
+    # wait = blocked on the prefetch queue (host production/upload behind),
+    # dispatch = issuing the async step, log/summary = hook on-thread cost
+    tm = getattr(trainer, "last_epoch_timings", {})
     return {"steps_per_sec": round(steps / dt, 3),
+            "epoch_wall_s": round(dt, 2),
+            "wall_breakdown_s": {k: round(v, 2) for k, v in tm.items()
+                                 if k != "steps"},
+            "async_drain_after_epoch_s": round(drain_s, 2),
             "finite_losses": finite,
             "checkpoints_written": len(ckpts),
             "pth_roundtrip_max_abs": rt_err}
+
+
+REF_EVAL_HDR_DIR = "/root/reference/activate_trained_model/input_images"
+REF_LAMBDA_DICT = "/root/reference/data/lambdas/input_images_lambdas.npy"
+
+
+def measure_training_quality(batch: int = 8, epochs: int = 3,
+                             steps: int = 40) -> dict:
+    """Does training IMPROVE held-out tone-mapping quality?  The
+    reference's whole verification loop is the Tester baking TMQI
+    trajectories into result dir names every 1/4 epoch
+    (`Tester.py:253-312`).  This leg reproduces it on the chip: train the
+    real GanTrainer from scratch (synthetic source, published B=8 256px
+    config) with the Tester wired into the 1/4-epoch hook, and record
+    TMQI on the reference's shipped eval image (belgium.hdr,
+    `activate_trained_model/test_imageTMO.py:45`-adjacent input) at step 0
+    and after `epochs * steps` steps."""
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+    from uncltmo_tpu.config import Options
+    from uncltmo_tpu.data.pipeline import SyntheticDataSource
+    from uncltmo_tpu.training.tester import Tester
+    from uncltmo_tpu.training.trainer import GanTrainer
+
+    if not (os.path.isdir(REF_EVAL_HDR_DIR)
+            and os.path.exists(REF_LAMBDA_DICT)):
+        return {"error": "reference eval image / lambda dict not found"}
+    tmp = tempfile.mkdtemp(prefix="uncltmo_bench_quality_")
+    opt = Options(batch_size=batch, num_epochs=epochs, d_pretrain_epochs=0,
+                  G_lr=1e-5, D_lr=1.5e-5, lr_decay_step=50,
+                  loss_g_d_factor=0.1, pyramid_weight_list="0.2,0.4,0.6",
+                  adv_weight_list="1,1,0", log_every=steps // 2,
+                  compute_dtype="bfloat16",
+                  test_dataroot_original_hdr=REF_EVAL_HDR_DIR,
+                  f_factor_path=REF_LAMBDA_DICT,
+                  result_dir_prefix=os.path.join(tmp, "run"))
+    opt.output_dir = os.path.join(tmp, "run")
+    os.makedirs(opt.output_dir, exist_ok=True)
+    trainer = GanTrainer(opt, video=False,
+                         source=SyntheticDataSource(n_items=batch * steps))
+    tester = Tester(opt, trainer.gen, video=False, dtype=jnp.bfloat16)
+    trainer.tester = tester
+
+    tester.engine.update_variables(
+        trainer._generator_variables(device=True))
+    tmqi_initial = tester.eval_on_images()
+    trainer.train()
+    tester.engine.update_variables(
+        trainer._generator_variables(device=True))
+    tmqi_final = tester.eval_on_images()
+
+    # 1/4-epoch TMQI trajectory from the metrics stream (the dir names
+    # carry the same numbers, reference-style)
+    traj = []
+    metrics_path = os.path.join(opt.output_dir, "train_metrics.jsonl")
+    if os.path.exists(metrics_path):
+        with open(metrics_path) as f:
+            for line in f:
+                rec = json.loads(line)
+                if "test/tmqi" in rec:
+                    traj.append(round(rec["test/tmqi"], 4))
+    return {"eval_image": "belgium.hdr",
+            "train_steps": epochs * steps,
+            "tmqi_initial": round(float(tmqi_initial), 4),
+            "tmqi_final": round(float(tmqi_final), 4),
+            "improved": bool(tmqi_final > tmqi_initial),
+            "tmqi_quarter_epoch_trajectory": traj}
 
 
 def measure_torch_cpu_baseline() -> float:
@@ -441,6 +528,7 @@ def main():
     train_ms = measure_train_ms_per_step()
     sustained_sps = measure_sustained_train_sps()
     trainer_loop = measure_trainer_loop_sps()
+    training_quality = measure_training_quality()
     baseline = get_baseline_fps()
     result = {
         "metric": "1080p HDR tone-mapped frames/sec/chip (image TMO, "
@@ -459,8 +547,12 @@ def main():
         "sustained_train_steps_per_sec": round(sustained_sps, 3),
         # chip-level smoke of the REAL GanTrainer loop (host hooks incl.):
         # {steps_per_sec, finite_losses, checkpoints_written,
-        #  pth_roundtrip_max_abs}
+        #  pth_roundtrip_max_abs, wall_breakdown_s}
         "trainer_loop": trainer_loop,
+        # held-out quality under training: TMQI on belgium.hdr at step 0
+        # vs after training, with the 1/4-epoch trajectory (the
+        # reference's Tester.py:253-312 loop, machine-readable)
+        "training_quality": training_quality,
     }
     print(json.dumps(result))
 

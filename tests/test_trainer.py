@@ -626,3 +626,46 @@ def test_async_host_worker_contract():
     assert len(w._pending) <= 2
     w.wait()
     assert ran[-2:] == ["queued", "after-gate"]
+
+
+def test_trainer_tester_hook_logs_heldout_tmqi(tmp_path):
+    """The 1/4-epoch hook with a Tester wired in must (a) bake the metric
+    into the result dir name (`Tester.py:282`) and (b) record the held-out
+    trajectory in the metrics stream as test/* keys — the machine-readable
+    form of the reference's TMQI-under-training verification loop
+    (`Tester.py:253-312`); the chip bench's training_quality leg reads it."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(11)
+    eval_dir = tmp_path / "orig_hdr"
+    eval_dir.mkdir()
+    np.save(eval_dir / "scene.npy",
+            (rng.random((272, 272, 3)).astype(np.float32) ** 2) * 700)
+    lam_path = tmp_path / "lams.npy"
+    np.save(lam_path, {"scene": 4000.0})
+
+    opt = Options(batch_size=2, num_epochs=1, d_pretrain_epochs=0,
+                  G_lr=1e-5, D_lr=1.5e-5, lr_decay_step=50,
+                  loss_g_d_factor=0.1, pyramid_weight_list="0.2,0.4,0.6",
+                  adv_weight_list="1,1,0", log_every=1,
+                  train_input_size=112,
+                  test_dataroot_original_hdr=str(eval_dir),
+                  f_factor_path=str(lam_path),
+                  result_dir_prefix=str(tmp_path / "run"))
+    opt.output_dir = str(tmp_path / "run")
+    os.makedirs(opt.output_dir, exist_ok=True)
+    trainer = GanTrainer(opt, video=False,
+                         source=SyntheticDataSource(n_items=4, size=112),
+                         use_mesh=False)
+    from uncltmo_tpu.training.tester import Tester
+    trainer.tester = Tester(opt, trainer.gen, video=False)
+    trainer.train()
+
+    recs = [json.loads(l) for l in
+            open(os.path.join(opt.output_dir, "train_metrics.jsonl"))]
+    tmqis = [r["test/tmqi"] for r in recs if "test/tmqi" in r]
+    assert tmqis and all(0.0 < t <= 1.0 for t in tmqis)
+    # trajectory baked into dir names, reference-style
+    dirs = os.listdir(os.path.join(opt.output_dir, "model_results"))
+    assert dirs and all("tmqi" in d for d in dirs)

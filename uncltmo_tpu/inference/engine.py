@@ -229,6 +229,79 @@ class TileEngine:
 
         return run
 
+    def _streamed_video_core(self, tn: int, h: int, w: int):
+        """Streamed 5-D tiler for LARGE plans: the video twin of
+        `_streamed_frame_core`, matching the reference tiler's
+        any-resolution contract (`model_save_util.py:488-565` feeds each
+        spatial tile the full frame sequence regardless of tile count).
+
+        A lax.scan over fixed-size tile chunks; each step gathers `chunk`
+        (T, t, t, C) video tiles with traced-origin dynamic_slices, runs
+        the temporal recurrence (`video_apply`) on the chunk as one conv
+        batch per frame step, and accumulates the separably-weighted
+        outputs into the (T, H, W) canvas.  Program size is O(chunk) and
+        resident memory is one chunk of video tiles + the canvas — both
+        independent of the tile count, where the unrolled `_build_video_fn`
+        is O(N) in program size and keeps all N*T tiles resident (~0.5 GB
+        per 4K frame at overlap 192 before multiplying by T)."""
+        py = axis_plan(h, self.tile, self.overlap)
+        px = axis_plan(w, self.tile, self.overlap)
+        ny, nx = len(py.origins), len(px.origins)
+        n = ny * nx
+        t = self.tile
+        origins_np = np.stack([np.repeat(py.origins, nx),
+                               np.tile(px.origins, ny)],
+                              axis=1).astype(np.int32)
+        wy_np = np.repeat(py.weights, nx, axis=0).astype(np.float32)
+        wx_np = np.tile(px.weights, (ny, 1)).astype(np.float32)
+        gran = len(self.mesh.devices.flat) if self.mesh is not None else 4
+        chunk = min(_round_up(self.chunk, gran), _round_up(n, gran))
+        n_pad = _round_up(n, chunk)
+        # padding tiles: origin (0, 0), all-zero weights — they run (one
+        # chunk shape, one compilation) but contribute nothing
+        pad = n_pad - n
+        origins_np = np.concatenate(
+            [origins_np, np.zeros((pad, 2), np.int32)])
+        wy_np = np.concatenate([wy_np, np.zeros((pad, t), np.float32)])
+        wx_np = np.concatenate([wx_np, np.zeros((pad, t), np.float32)])
+        model, dtype = self.model, self.dtype
+
+        def run(variables, video_thw1):
+            org = jnp.asarray(origins_np)
+            wy = jnp.asarray(wy_np)
+            wx = jnp.asarray(wx_np)
+
+            def step(canvas, ci):
+                i0 = ci * chunk
+                tiles = jnp.stack([
+                    jax.lax.dynamic_slice(
+                        video_thw1, (0, org[i0 + i, 0], org[i0 + i, 1], 0),
+                        (tn, t, t, video_thw1.shape[-1]))
+                    for i in range(chunk)])          # (chunk, T, t, t, C)
+                tiles = self._shard_tiles(tiles[None])[0]
+                outs, _ = video_apply(model, variables,
+                                      tiles.astype(dtype),
+                                      with_features=False)
+                outs = outs.astype(jnp.float32).reshape(chunk, tn, t, t)
+                cwy = jax.lax.dynamic_slice(wy, (i0, 0), (chunk, t))
+                cwx = jax.lax.dynamic_slice(wx, (i0, 0), (chunk, t))
+                weighted = (outs * cwy[:, None, :, None]
+                            * cwx[:, None, None, :])
+                for i in range(chunk):
+                    oy, ox = org[i0 + i, 0], org[i0 + i, 1]
+                    cur = jax.lax.dynamic_slice(canvas, (0, oy, ox),
+                                                (tn, t, t))
+                    canvas = jax.lax.dynamic_update_slice(
+                        canvas, cur + weighted[i], (0, oy, ox))
+                return canvas, None
+
+            canvas = jnp.zeros((tn, h, w), jnp.float32)
+            canvas, _ = jax.lax.scan(step, canvas,
+                                     jnp.arange(n_pad // chunk))
+            return canvas[..., None]
+
+        return run
+
     # ------------------------------------------------------------------
     def _image_core(self, h: int, w: int):
         """Unjitted single-frame pipeline closure: (variables, (H,W,1)) ->
@@ -403,6 +476,11 @@ class TileEngine:
 
     # ------------------------------------------------------------------
     def _build_video_fn(self, tn: int, h: int, w: int):
+        if self._n_tiles(h, w) > STREAM_TILE_THRESHOLD:
+            # full-resolution video plans stream (the unrolled form below
+            # is prohibitive past ~192 tiles: O(N) program size, all N*T
+            # tiles resident)
+            return jax.jit(self._streamed_video_core(tn, h, w))
         plan = tile_plan(h, w, self.tile, self.overlap)
         origins = plan.origins
         masks_np = plan.masks
@@ -453,7 +531,20 @@ class TileEngine:
         (60) — about half the batch depth the convs need to fill the MXU.
         Independent scenes have independent carries, so their tiles share
         one conv batch: S scenes run S*N tiles per frame step, the same
-        trick `_images_core` uses for frame groups."""
+        trick `_images_core` uses for frame groups.
+
+        Large plans (full-res protocol) stream per scene instead — a
+        single full-res scene's tile count already exceeds the conv batch
+        depth the chip needs, so cross-scene batching buys nothing there
+        (the image path makes the identical trade, `_images_core`)."""
+        if self._n_tiles(h, w) > STREAM_TILE_THRESHOLD:
+            core = self._streamed_video_core(tn, h, w)
+
+            def run_streamed(variables, scenes_sthw1):
+                return jax.lax.map(lambda sc: core(variables, sc),
+                                   scenes_sthw1)
+
+            return run_streamed
         plan = tile_plan(h, w, self.tile, self.overlap)
         origins = plan.origins
         masks_np = plan.masks

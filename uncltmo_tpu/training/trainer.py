@@ -170,12 +170,16 @@ class GanTrainer:
         self._ckpt_saver = (ckpt.AsyncSaver()
                             if getattr(opt, "async_checkpoint", 1) else None)
         # 1/4-epoch summary host work (matplotlib renders, the sample
-        # grid's fetch+encode) runs here, off the training critical path —
-        # measured 5.7x on the real trainer loop at the published cadence
-        # (1.5 -> ~8 steps/s at B=8 on the chip; the plots alone cost more
-        # than the 12 device steps between summaries).  Drained in train()'s
-        # finally next to the checkpoint saver.
-        self._host_worker = AsyncHostWorker()
+        # grid's fetch+encode) runs here, off the training critical path.
+        # Round-5 measurement on the chip (PERF.md): one render costs
+        # ~1.1 s isolated (plots 0.5 s + grid 0.6 s), and the sample grid's
+        # FIRST forward pays a full jit compile — with the default
+        # max_pending=4 that compile backpressured `submit` and the
+        # 50-step bench epoch spent 25 of its 33 s blocked in the summary
+        # hook.  max_pending=8 lets a short epoch's renders drain during
+        # the next one instead; drained in train()'s finally next to the
+        # checkpoint saver.
+        self._host_worker = AsyncHostWorker(max_pending=8)
         # Per-step RNGs are DERIVED (fold_in of a fixed base by stream and
         # num_iter), not split sequentially — so a resumed run at iter N
         # draws the same keys the uninterrupted run would have drawn.
@@ -355,32 +359,71 @@ class GanTrainer:
 
         indexed = enumerate(batches, start=start_iter + 1)
         from uncltmo_tpu.data.pipeline import device_prefetch
-        for it, dev_batch in device_prefetch(indexed, _prepare, depth=2):
+        # wall-clock breakdown of the loop, readable after the epoch via
+        # `self.last_epoch_timings` (seconds): `wait` = blocked on the
+        # prefetch queue (host batch production + upload behind), `dispatch`
+        # = issuing the async train step, `log`/`summary` = the hooks'
+        # on-thread cost.  Costs ~4 perf_counter calls/step; powers the
+        # bench leg's device-vs-host diagnosis (VERDICT round 4, weak #5).
+        timings = {"wait_s": 0.0, "dispatch_s": 0.0, "log_s": 0.0,
+                   "summary_s": 0.0, "steps": 0}
+        self.last_epoch_timings = timings
+        prefetched = iter(device_prefetch(indexed, _prepare, depth=3))
+        while True:
+            t_mark = time.perf_counter()
+            nxt = next(prefetched, None)
+            if nxt is None:
+                break
+            it, dev_batch = nxt
+            timings["wait_s"] += time.perf_counter() - t_mark
             self.num_iter += 1
             step_rng = self._step_rng(pretrain)
+            t_mark = time.perf_counter()
             self.state, logs = self.train_step(
                 self.state, dev_batch, step_rng, g_lr, d_lr,
                 stage=stage, pretrain=pretrain)
+            timings["dispatch_s"] += time.perf_counter() - t_mark
+            timings["steps"] += 1
             if getattr(self.opt, "verbose", 0) and not pretrain:
+                fk = jax.device_get({k: logs[k] for k in
+                                     ("fake/min", "fake/max", "fake/mean")})
                 print(f"iter {self.num_iter}  fake "
-                      f"min {float(logs['fake/min']):.4f}  "
-                      f"max {float(logs['fake/max']):.4f}  "
-                      f"mean {float(logs['fake/mean']):.4f}", flush=True)
+                      f"min {fk['fake/min']:.4f}  max {fk['fake/max']:.4f}  "
+                      f"mean {fk['fake/mean']:.4f}", flush=True)
             if self.num_iter % self.opt.log_every == 0 or it == steps:
-                logs = {k: float(v) for k, v in logs.items()}
-                if pretrain:
-                    # pretrain shares step indices with the main run (the
-                    # reference resets num_iter and clears its loss lists
-                    # between phases, `GanTrainer.py:153-156`); distinct
-                    # keys keep the JSONL unambiguous and the loss curves
-                    # from doubling back on the x-axis
-                    logs = {f"pretrain/{k}": v for k, v in logs.items()}
-                self.logger.log(self.num_iter, logs, epoch=epoch,
-                                phase="pretrain" if pretrain else "train",
-                                sec_per_step=(time.time() - t0)
-                                / (it - start_iter))
+                t_mark = time.perf_counter()
+                # fetch + JSONL write run on the host worker: device_get
+                # here would SYNC the training thread on the queued device
+                # work (measured 4.3 s of a 10.7 s bench epoch).  The
+                # worker is single-threaded FIFO, so log records and the
+                # later summary renders stay ordered; `logs` is an
+                # immutable device pytree, safe to capture.
+                self._host_worker.submit(
+                    self._log_async, logs, self.num_iter, epoch, pretrain,
+                    (time.time() - t0) / (it - start_iter))
+                timings["log_s"] += time.perf_counter() - t_mark
             if not pretrain and it % summary_every == 0:
+                t_mark = time.perf_counter()
                 self.print_epoch_summary(epoch, it, logs)
+                timings["summary_s"] += time.perf_counter() - t_mark
+
+    def _log_async(self, dev_logs, num_iter: int, epoch: int,
+                   pretrain: bool, sec_per_step: float) -> None:
+        """Host-worker body of the periodic metrics log: one batched
+        device_get, then the JSONL append.  `self.logger` is only ever
+        touched from the host worker (here and in the summary renders), so
+        its history needs no locking."""
+        host = {k: float(v) for k, v in jax.device_get(dev_logs).items()}
+        if pretrain:
+            # pretrain shares step indices with the main run (the
+            # reference resets num_iter and clears its loss lists between
+            # phases, `GanTrainer.py:153-156`); distinct keys keep the
+            # JSONL unambiguous and the loss curves from doubling back on
+            # the x-axis
+            host = {f"pretrain/{k}": v for k, v in host.items()}
+        self.logger.log(num_iter, host, epoch=epoch,
+                        phase="pretrain" if pretrain else "train",
+                        sec_per_step=sec_per_step)
 
     def _maybe_add_weight_channel(self, batch, pretrain: bool,
                                   num_iter: Optional[int] = None,
@@ -417,9 +460,21 @@ class GanTrainer:
         generator variables — immutable device arrays — and num_iter), so
         the training thread mutating self.state/logger never races it."""
         if self.tester is not None:
-            self.tester.save_images_for_model(
+            test_metrics = self.tester.save_images_for_model(
                 self._generator_variables(), self.opt.output_dir,
                 epoch, epoch_iter)
+            # the reference only bakes these into the result dir name
+            # (`Tester.py:282`); record them in the metrics stream too so
+            # the held-out trajectory (e.g. TMQI under training) is
+            # machine-readable.  Via the host worker: FIFO keeps the JSONL
+            # ordered with the periodic _log_async records.
+            numeric = {f"test/{k}": float(v)
+                       for k, v in test_metrics.items()
+                       if isinstance(v, (int, float, np.floating))}
+            if numeric:
+                self._host_worker.submit(
+                    self.logger.log, self.num_iter, numeric,
+                    epoch=epoch, phase="test")
         save_args = (os.path.join(self.opt.output_dir, P.MODELS_SAVE_PATH),
                      epoch, epoch_iter, self.state)
         save_meta = {"num_iter": self.num_iter}
@@ -429,20 +484,29 @@ class GanTrainer:
         else:
             ckpt.save_train_state(*save_args, extra_meta=save_meta)
         loss_dir = os.path.join(self.opt.output_dir, P.LOSS_PATH)
-        hist = self.logger.snapshot()
         grid_vars = self._generator_variables(device=True)
         grid_iter = self.num_iter
 
         def _render():
+            # history snapshot INSIDE the worker task: the single-threaded
+            # FIFO guarantees every _log_async enqueued before this summary
+            # has already landed in the logger
+            hist = self.logger.snapshot()
+            # at most summary steps `logs` still holds device scalars —
+            # fetch them in ONE transfer on this worker thread (per-scalar
+            # float() costs one ~30 ms tunnel round trip each, ~26 of them
+            # between the console line and the grad-flow plot)
+            host_logs = {k: float(v)
+                         for k, v in jax.device_get(logs).items()}
             print_epoch_losses_summary(
                 epoch, self.opt.num_epochs,
-                {k: float(v) for k, v in logs.items()
+                {k: v for k, v in host_logs.items()
                  # grad-flow gets its own plot; fake/ stats are diagnostics
                  # (printed via --verbose), not losses
                  if not k.startswith(("gradG/", "fake/"))})
             self.logger.plot(loss_dir, f"summary epoch_=_{epoch}",
                              history=hist)
-            self._plot_diagnostics(loss_dir, epoch, logs, history=hist)
+            self._plot_diagnostics(loss_dir, epoch, host_logs, history=hist)
             self._save_sample_grid(epoch, epoch_iter, gvars=grid_vars,
                                    num_iter=grid_iter)
 

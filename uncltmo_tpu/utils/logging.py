@@ -101,17 +101,27 @@ class MetricsLogger:
         os.makedirs(loss_dir, exist_ok=True)
         with _MPL_LOCK:
             fig, ax = plt.subplots(figsize=(10, 5))
+            drew = False
             for k, hist in hist_by_key.items():
                 if not hist or k.startswith(("gradG/", "fake/")):
                     # per-layer grad scalars have their own bar plot; fake/
                     # tensor stats are diagnostics, not losses
                     continue
+                # long runs: cap points per series — the render runs on the
+                # trainer's host worker every 1/4 epoch and must stay O(1),
+                # not O(total steps)
+                if len(hist) > 2000:
+                    hist = hist[:: -(-len(hist) // 2000)]
                 steps, vals = zip(*hist)
                 ax.plot(steps, vals, label=k)
+                drew = True
             ax.set_xlabel("iterations")
             ax.set_ylabel("loss")
             ax.set_title(title)
-            ax.legend()
+            if drew:
+                # explicit loc: loc="best" scans every vertex of every line
+                # (matplotlib warns it is slow with large amounts of data)
+                ax.legend(loc="upper right")
             out = os.path.join(loss_dir, title.replace(" ", "_") + ".png")
             fig.savefig(out)
             plt.close(fig)
