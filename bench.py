@@ -170,6 +170,23 @@ def measure_fullres(frames_per_call: int = 2, calls: int = 2) -> dict:
                 stats["peak_bytes_in_use"] / 2**20, 1)
     except Exception:
         pass
+    if "peak_device_mb" not in out:
+        # the axon PJRT runtime exposes no runtime memory_stats; report
+        # the compile-time figure instead (XLA's allocation plan for the
+        # streamed program: temp = scan-body peak incl. double buffering)
+        try:
+            core = engine._image_core(FULL_PAD_H, FULL_PAD_W)
+            c = jax.jit(core).lower(
+                engine.variables,
+                jnp.zeros((FULL_PAD_H, FULL_PAD_W, 1), jnp.float32)
+            ).compile()
+            ma = c.memory_analysis()
+            out["compile_time_memory_mb"] = {
+                "temp": round(ma.temp_size_in_bytes / 2**20, 1),
+                "arguments": round(ma.argument_size_in_bytes / 2**20, 1),
+                "output": round(ma.output_size_in_bytes / 2**20, 1)}
+        except Exception:
+            pass
     return out
 
 
@@ -363,6 +380,64 @@ def measure_trainer_loop_sps(batch: int = 8, steps: int = 50) -> dict:
             "pth_roundtrip_max_abs": rt_err}
 
 
+PEAK_BF16_FLOPS = 197e12     # TPU v5e (v5 lite) peak dense bf16
+
+
+def _cost_flops(jitted, *args, **kw):
+    """FLOPs of a jitted callable via the AOT cost model (None when the
+    backend doesn't expose cost_analysis)."""
+    try:
+        ca = jitted.lower(*args, **kw).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else {}
+        f = float(ca.get("flops", 0.0))
+        return f if f > 0 else None
+    except Exception:
+        return None
+
+
+def measure_mfu_estimates(image_fps: float, video_fps: float,
+                          fullres: dict, train_ms: float) -> dict:
+    """Per-leg MFU estimates: XLA-counted FLOPs of the dominant program /
+    measured wall time / chip peak (bf16).  The tiled legs count the
+    generator forward only (the blend scatter and percentile stretch are
+    bandwidth ops with negligible FLOPs); per-tile cost is taken from one
+    60-tile conv batch, which is the batch depth every leg actually runs.
+    These are utilization ESTIMATES for capacity planning, not a claim
+    that the model could reach 100% — PERF.md's trace shows the hot convs
+    cap at 40-55% MXU at the published C=32 geometry."""
+    import jax
+    import jax.numpy as jnp
+
+    engine = _make_engine()
+    fwd = jax.jit(lambda v, x: engine.model.apply(v, x)[0])
+    tile_batch = jnp.zeros((60, 256, 256, 1), jnp.bfloat16)
+    flops_60 = _cost_flops(fwd, engine.variables, tile_batch)
+    out = {}
+    if flops_60:
+        per_frame_1080 = flops_60            # 60 tiles == one 1080p frame
+        out["image_1080p"] = round(
+            per_frame_1080 * image_fps / PEAK_BF16_FLOPS, 4)
+        out["video_1080p"] = round(
+            per_frame_1080 * video_fps / PEAK_BF16_FLOPS, 4)
+        if fullres.get("fps") and fullres.get("tiles_per_frame"):
+            per_frame_4k = flops_60 / 60 * fullres["tiles_per_frame"]
+            out["fullres_4k"] = round(
+                per_frame_4k * fullres["fps"] / PEAK_BF16_FLOPS, 4)
+    state, step = _make_gan_step()
+    import numpy as _np
+    rng = _np.random.default_rng(2)
+    batch_data = {
+        k: jnp.asarray(rng.random((8, 2, 256, 256, 1), _np.float32))
+        for k in ("hdr", "ldr_pos", "ldr_neg")}
+    flops_step = _cost_flops(step, state, batch_data, jax.random.PRNGKey(0),
+                             1e-5, 1.5e-5, stage=0)
+    if flops_step and train_ms:
+        out["train_step_b8"] = round(
+            flops_step / (train_ms / 1e3) / PEAK_BF16_FLOPS, 4)
+    return out
+
+
 REF_EVAL_HDR_DIR = "/root/reference/activate_trained_model/input_images"
 REF_LAMBDA_DICT = "/root/reference/data/lambdas/input_images_lambdas.npy"
 
@@ -529,6 +604,7 @@ def main():
     sustained_sps = measure_sustained_train_sps()
     trainer_loop = measure_trainer_loop_sps()
     training_quality = measure_training_quality()
+    mfu = measure_mfu_estimates(fps, video_fps, fullres, train_ms)
     baseline = get_baseline_fps()
     result = {
         "metric": "1080p HDR tone-mapped frames/sec/chip (image TMO, "
@@ -553,6 +629,9 @@ def main():
         # vs after training, with the 1/4-epoch trajectory (the
         # reference's Tester.py:253-312 loop, machine-readable)
         "training_quality": training_quality,
+        # per-leg MFU estimates (XLA-counted FLOPs / wall / 197 TFLOP/s
+        # bf16 peak); see measure_mfu_estimates docstring for scope
+        "mfu": mfu,
     }
     print(json.dumps(result))
 
