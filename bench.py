@@ -483,14 +483,20 @@ def measure_training_quality(batch: int = 8, epochs: int = 3,
 
     tester.engine.update_variables(
         trainer._generator_variables(device=True))
-    tmqi_initial = tester.eval_on_images()
+    tmqi_initial = float(tester.eval_on_images())
     trainer.train()
     tester.engine.update_variables(
         trainer._generator_variables(device=True))
-    tmqi_final = tester.eval_on_images()
+    tmqi_final = float(tester.eval_on_images())
 
     # 1/4-epoch TMQI trajectory from the metrics stream (the dir names
-    # carry the same numbers, reference-style)
+    # carry the same numbers, reference-style).  Early evals can be NaN:
+    # an untrained generator renders percentile-stretched noise on which
+    # TMQI's structural fidelity goes negative at some pyramid level and
+    # S = prod(s_l^w) is undefined — the reference's scipy TMQI returns
+    # NaN on the identical input (verified: s_locals match ours
+    # element-for-element, `TMQI.py:167` RuntimeWarning).  JSON carries
+    # them as null; `improved` compares against the first FINITE eval.
     traj = []
     metrics_path = os.path.join(opt.output_dir, "train_metrics.jsonl")
     if os.path.exists(metrics_path):
@@ -498,12 +504,23 @@ def measure_training_quality(batch: int = 8, epochs: int = 3,
             for line in f:
                 rec = json.loads(line)
                 if "test/tmqi" in rec:
-                    traj.append(round(rec["test/tmqi"], 4))
+                    v = rec["test/tmqi"]
+                    traj.append(round(v, 4) if np.isfinite(v) else None)
+
+    def _clean(v):
+        return round(v, 4) if np.isfinite(v) else None
+
+    finite_pts = ([tmqi_initial] if np.isfinite(tmqi_initial) else []) \
+        + [v for v in traj if v is not None]
+    baseline_q = finite_pts[0] if finite_pts else None
     return {"eval_image": "belgium.hdr",
             "train_steps": epochs * steps,
-            "tmqi_initial": round(float(tmqi_initial), 4),
-            "tmqi_final": round(float(tmqi_final), 4),
-            "improved": bool(tmqi_final > tmqi_initial),
+            "tmqi_initial": _clean(tmqi_initial),
+            "tmqi_first_finite": baseline_q,
+            "tmqi_final": _clean(tmqi_final),
+            "improved": bool(baseline_q is not None
+                             and np.isfinite(tmqi_final)
+                             and tmqi_final > baseline_q),
             "tmqi_quarter_epoch_trajectory": traj}
 
 
