@@ -41,6 +41,7 @@ def _write_pngs(d, n=3, h=48, w=64, seed=0):
         cv2.imwrite(os.path.join(d, f"frame_{i:03d}.png"), im)
 
 
+@pytest.mark.smoke
 def test_png2video_assembles_and_equalizes(tmp_path):
     import cv2
     png2video = _import_cli("png2video")
@@ -67,12 +68,14 @@ def test_png2video_assembles_and_equalizes(tmp_path):
     assert abs(means[2] - means[0]) < 6.0
 
 
+@pytest.mark.smoke
 def test_png2video_empty_dir_errors(tmp_path):
     png2video = _import_cli("png2video")
     with pytest.raises(SystemExit, match="no PNG frames"):
         png2video.main(["--input_dir", str(tmp_path)])
 
 
+@pytest.mark.smoke
 def test_prepare_lambdas_hist_then_fit(tmp_path):
     """mean_hist -> lambdas pipeline on synthetic data; the dict npy has
     the reference's {name: lambda} format and is resume-idempotent."""
@@ -106,6 +109,7 @@ def test_prepare_lambdas_hist_then_fit(tmp_path):
     assert d2 == d
 
 
+@pytest.mark.smoke
 def test_compute_metrics_tmqi_pair(tmp_path, capsys):
     import imageio.v2 as imageio
     compute_metrics = _import_cli("compute_metrics")
@@ -132,6 +136,7 @@ def test_compute_metrics_tmqi_pair(tmp_path, capsys):
         compute_metrics.main(["tmqi"])
 
 
+@pytest.mark.smoke
 def test_prepare_lambdas_show_mode(tmp_path, capsys):
     """`--mode show` prints a saved lambda dict / mean-hist npy — the
     reference's `activate_trained_model/lambda_data/read_npy.py`."""
@@ -153,6 +158,7 @@ def test_prepare_lambdas_show_mode(tmp_path, capsys):
         prepare_lambdas.main(["--mode", "lambdas", "--npy", dict_path])
 
 
+@pytest.mark.smoke
 def test_compute_metrics_warp_provenance(tmp_path, capsys):
     """`warp` must record {flow_algo, flow_source} next to E1/E2, and
     `--protocol strict` must refuse non-paper-comparable runs (this cv2
@@ -189,6 +195,7 @@ def test_compute_metrics_warp_provenance(tmp_path, capsys):
                               "--baseline_dir", str(base_dir)])
 
 
+@pytest.mark.smoke
 def test_compute_metrics_btmqi_mos_spearman(tmp_path, capsys):
     """btmqi --mos prints |Spearman(BTMQI, MOS)| over the filename
     intersection (`metrics/BTMQI_metric/result.m:5-7` protocol)."""
@@ -271,6 +278,7 @@ def test_main_train_image_cli_end_to_end(tmp_path):
     assert ckpts
 
 
+@pytest.mark.smoke
 def test_compute_metrics_tmqi_dir_exact_stem_pairing(tmp_path):
     """'1.npy' must pair with '1_UnCLTMO.png', never '10_UnCLTMO.png'
     (unanchored prefix matching over dict order did exactly that)."""
@@ -318,6 +326,7 @@ _LAUNCHERS = [
 
 @pytest.mark.parametrize("script,cli,prefix", _LAUNCHERS,
                          ids=[s for s, _, _ in _LAUNCHERS])
+@pytest.mark.smoke
 def test_launch_script_flags_accepted_by_cli(script, cli, prefix, capsys):
     import re
     mod = _import_cli(cli)

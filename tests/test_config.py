@@ -2,8 +2,12 @@
 import os
 
 import numpy as np
+import pytest
 
 from uncltmo_tpu import config
+
+# coffee-break tier: `pytest -m 'smoke and not slow'` (see pyproject.toml)
+pytestmark = pytest.mark.smoke
 
 
 def test_get_opt_snapshot_roundtrip(tmp_path, monkeypatch):

@@ -14,6 +14,9 @@ import pytest
 
 from golden_cases import CASES
 
+# coffee-break tier: `pytest -m 'smoke and not slow'` (see pyproject.toml)
+pytestmark = pytest.mark.smoke
+
 GOLDEN_PATH = os.path.join(os.path.dirname(__file__), "golden", "golden.npz")
 
 # CPU XLA is deterministic run-to-run, but leave headroom for fused-op

@@ -14,6 +14,7 @@ REF_SETTINGS = ("/root/reference/activate_trained_model/"
                 "model_weights_imageTMO/run_settings.npy")
 
 
+@pytest.mark.smoke
 def test_ce_for_lambdas_matches_numpy(rng):
     from uncltmo_tpu.ops.lambda_est import _ce_for_lambdas, cross_entropy_np
     gray = rng.random(5000).astype(np.float32) ** 3
@@ -29,6 +30,7 @@ def test_ce_for_lambdas_matches_numpy(rng):
 
 
 @pytest.mark.skipif(not os.path.exists(MEAN_HIST), reason="no mean hist")
+@pytest.mark.smoke
 def test_fit_lambda_is_local_minimum(rng):
     from uncltmo_tpu.ops.lambda_est import cross_entropy_np, fit_lambda
     mean = np.load(MEAN_HIST, allow_pickle=True)[()]
@@ -42,6 +44,7 @@ def test_fit_lambda_is_local_minimum(rng):
 
 
 @pytest.mark.skipif(not os.path.exists(MEAN_HIST), reason="no mean hist")
+@pytest.mark.smoke
 def test_fit_lambda_de_agrees_with_grid(rng):
     """The opt-in exact reference optimizer (scipy differential evolution,
     `adaptive_lambda.py:59-60`) and the deterministic grid sweep must land
@@ -65,6 +68,7 @@ def test_fit_lambda_de_agrees_with_grid(rng):
 
 
 @pytest.mark.skipif(not os.path.exists(BELGIUM), reason="no sample hdr")
+@pytest.mark.smoke
 def test_image_cli_end_to_end(tmp_path, rng):
     """belgium.hdr -> tone-mapped PNG via the full CLI path with random
     generator weights (exercises settings re-hydration, lambda estimation,
@@ -113,6 +117,7 @@ def test_image_cli_end_to_end(tmp_path, rng):
     assert im.std() > 0.001  # non-degenerate output
 
 
+@pytest.mark.smoke
 def test_video_engine_small():
     """Video tiler on a 2-frame 272x272 clip with the real model."""
     import jax
@@ -285,6 +290,7 @@ def test_video_cli_scene_batch_matches_sequential(tmp_path, rng):
         assert (diff > 0).mean() < 1e-3, f"{k}: {(diff > 0).mean():.4%}"
 
 
+@pytest.mark.smoke
 def test_run_images_cache_keys_on_post_name():
     """Fresh per-call lambdas with the same `post_name` must reuse one
     compiled executable (the cache must not grow per call)."""
@@ -324,6 +330,7 @@ def test_run_images_cache_keys_on_post_name():
         eng.run_images(frames, post_name="double")
 
 
+@pytest.mark.smoke
 def test_whole_image_inference_paths(tmp_path, rng):
     """Non-tiled whole-image inference (`run_model_on_single_image`,
     `model_save_util.py:266-291`): add_frame=0 removes the pad by bicubic
@@ -374,6 +381,7 @@ def test_whole_image_inference_paths(tmp_path, rng):
     assert im.std() > 0.001
 
 
+@pytest.mark.smoke
 def test_bicubic_resize_matches_torch(rng):
     """General bicubic (whole-image pad removal, GCN pos/rel-pos
     interpolation) == torch F.interpolate(mode='bicubic',
@@ -433,6 +441,7 @@ def test_run_on_path_pipelined_matches_sequential(tmp_path, rng):
         np.testing.assert_array_equal(read_ldr_image(a), read_ldr_image(b))
 
 
+@pytest.mark.smoke
 def test_whole_image_tiny_input_and_add_frame_video_rejection(tmp_path, rng):
     """Two guards on the add_frame/whole-image surface:
 
@@ -483,6 +492,7 @@ def test_whole_image_tiny_input_and_add_frame_video_rejection(tmp_path, rng):
                                     str(lam), scene_batch=2)
 
 
+@pytest.mark.smoke
 def test_lambda_dict_cache_sees_updates(tmp_path):
     """load_lambda_dict caches on (path, mtime, size) — repeated loads hit
     the cache, but a regenerated dict (prepare_lambdas resume) is seen."""

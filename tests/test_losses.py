@@ -8,6 +8,9 @@ import jax.numpy as jnp
 from uncltmo_tpu.losses import adversarial as adv
 from uncltmo_tpu.losses.struct import struct_loss_pyramid, struct_loss_single
 
+# coffee-break tier: `pytest -m 'smoke and not slow'` (see pyproject.toml)
+pytestmark = pytest.mark.smoke
+
 
 def _struct_loss_direct(fake, hdr, wsize=5, e2=1e-5):
     """Direct windowed computation of the reference struct loss

@@ -4,6 +4,9 @@ import os
 import numpy as np
 import pytest
 
+# coffee-break tier: `pytest -m 'smoke and not slow'` (see pyproject.toml)
+pytestmark = pytest.mark.smoke
+
 
 def test_warp_error_identical_frames(rng):
     from uncltmo_tpu.metrics.warp_error import compute_warp_error

@@ -8,6 +8,9 @@ import pytest
 from uncltmo_tpu.models.unet import UNetTMO, video_apply
 from uncltmo_tpu.models.discriminator import SimpleDiscriminator
 
+# coffee-break tier: `pytest -m 'smoke and not slow'` (see pyproject.toml)
+pytestmark = pytest.mark.smoke
+
 
 @pytest.fixture(scope="module")
 def gen_and_vars():

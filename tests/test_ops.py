@@ -8,6 +8,9 @@ import pytest
 
 from uncltmo_tpu.ops import color, preprocess, resize, windows
 
+# coffee-break tier: `pytest -m 'smoke and not slow'` (see pyproject.toml)
+pytestmark = pytest.mark.smoke
+
 
 def test_bicubic_half_matches_torch(rng):
     torch = pytest.importorskip("torch")

@@ -9,6 +9,9 @@ import jax.numpy as jnp
 from uncltmo_tpu.ops.pallas_kernels import (double_conv3x3_reference,
                                             fused_double_conv3x3)
 
+# coffee-break tier: `pytest -m 'smoke and not slow'` (see pyproject.toml)
+pytestmark = pytest.mark.smoke
+
 
 @pytest.mark.parametrize("h,w,cin,c1,c2", [(37, 40, 16, 24, 16),
                                            (68, 32, 8, 8, 8)])

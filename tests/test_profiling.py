@@ -10,6 +10,9 @@ import pytest
 
 from uncltmo_tpu.utils import profiling
 
+# coffee-break tier: `pytest -m 'smoke and not slow'` (see pyproject.toml)
+pytestmark = pytest.mark.smoke
+
 
 def test_trace_span_and_traced_to(tmp_path):
     with profiling.trace("unit-span"):

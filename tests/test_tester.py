@@ -30,6 +30,7 @@ def _model():
     return model, variables
 
 
+@pytest.mark.smoke
 def test_tester_image_eval(tmp_path, rng):
     eval_dir, names = _eval_set(tmp_path, rng)
     lam_path = tmp_path / "lams.npy"
@@ -53,6 +54,7 @@ def test_tester_image_eval(tmp_path, rng):
     assert len(pngs) == 2
 
 
+@pytest.mark.smoke
 def test_tester_missing_lambda_raises(tmp_path, rng):
     """No lambda dict and no mean hist -> loud KeyError, not a silent
     default (reference `get_f` raises, `data_loader_util.py:212-222`)."""
@@ -64,6 +66,7 @@ def test_tester_missing_lambda_raises(tmp_path, rng):
         Tester(opt, model, video=False)
 
 
+@pytest.mark.smoke
 def test_tester_autocalcs_missing_lambdas(tmp_path, rng):
     """With a mean-hist available, missing lambdas are computed at init like
     the reference's `adaptive_lambda.calc_lambda` hook (`Tester.py:40-42`)."""
@@ -85,6 +88,7 @@ def test_tester_autocalcs_missing_lambdas(tmp_path, rng):
     assert names[0] in cached
 
 
+@pytest.mark.smoke
 def test_tester_baseline_flow_pair(tmp_path, rng):
     """Warp-error flow sources resolve to the L1L0-baseline renders when the
     configured directory has them (`Tester.py:378-385` protocol)."""

@@ -39,6 +39,7 @@ def sequential_blend_1d(L, tile, overlap, tile_outputs):
 
 
 @pytest.mark.parametrize("L", [272, 280, 320, 448, 464, 512, 530, 1088, 1936])
+@pytest.mark.smoke
 def test_axis_plan_matches_sequential(L):
     tile, overlap = 256, 64
     plan = axis_plan(L, tile, overlap)
@@ -52,6 +53,7 @@ def test_axis_plan_matches_sequential(L):
 
 
 @pytest.mark.parametrize("L", [272, 448, 1088, 1936])
+@pytest.mark.smoke
 def test_axis_plan_partition_of_unity(L):
     plan = axis_plan(L)
     total = np.zeros(L)
@@ -60,6 +62,7 @@ def test_axis_plan_partition_of_unity(L):
     np.testing.assert_allclose(total, 1.0, atol=1e-6)
 
 
+@pytest.mark.smoke
 def test_axis_plan_overlap_192():
     plan = axis_plan(1104, tile=256, overlap=192)
     total = np.zeros(1104)
@@ -68,6 +71,7 @@ def test_axis_plan_overlap_192():
     np.testing.assert_allclose(total, 1.0, atol=1e-6)
 
 
+@pytest.mark.smoke
 def test_tile_plan_2d_partition():
     plan = tile_plan(464, 720)
     total = np.zeros((464, 720))
@@ -76,6 +80,7 @@ def test_tile_plan_2d_partition():
     np.testing.assert_allclose(total, 1.0, atol=1e-5)
 
 
+@pytest.mark.smoke
 def test_engine_identity_model():
     """With an identity 'generator' the engine must return the input."""
     import jax
@@ -97,6 +102,7 @@ def test_engine_identity_model():
     np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=1e-5)
 
 
+@pytest.mark.smoke
 def test_engine_streamed_large_plan_identity():
     """>=300-tile plan end to end: past STREAM_TILE_THRESHOLD run_image
     switches to the scan-over-chunks path (traced origins, separable
@@ -135,6 +141,7 @@ def test_engine_streamed_large_plan_identity():
                                atol=1e-5)
 
 
+@pytest.mark.smoke
 def test_engine_streamed_matches_unrolled_real_model(monkeypatch):
     """Streamed and unrolled paths are numerically identical through the
     real generator (same plan, threshold toggled)."""

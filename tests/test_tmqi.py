@@ -5,6 +5,9 @@ import pytest
 import reference_shim
 from uncltmo_tpu.metrics import tmqi as jtmqi
 
+# coffee-break tier: `pytest -m 'smoke and not slow'` (see pyproject.toml)
+pytestmark = pytest.mark.smoke
+
 
 @pytest.fixture(scope="module")
 def ref_tmqi():

@@ -76,6 +76,7 @@ def test_grad_flow_logs_and_diagnostic_plots(tmp_path):
     assert any(f.startswith("accuracy") for f in files)
 
 
+@pytest.mark.smoke
 def test_trainer_rejects_bad_data_parallel(tmp_path):
     """An explicit data_parallel request must fail loudly on mismatch."""
     import jax
@@ -242,6 +243,7 @@ def test_video_trainer_one_epoch(tmp_path):
     assert ckpts
 
 
+@pytest.mark.smoke
 def test_trainer_untrained_dcgan_with_small_input_size(tmp_path):
     """A non-simpleD discriminator that is never trained (train_with_D=0)
     must not crash trainer init when train_input_size is below the DCGAN
@@ -301,6 +303,7 @@ def _write_pools(tmp_path, n_hdr=6, n_ldr=5, n_neg=2):
     return roots
 
 
+@pytest.mark.smoke
 def test_trainer_wires_all_five_training_pools(tmp_path):
     """Config flags -> GanTrainer -> TrainDataSource for every reference
     pool: negatives actually come from the SICE pool, the video pathway
@@ -342,6 +345,7 @@ def test_trainer_wires_all_five_training_pools(tmp_path):
     assert 0.35 < np.mean(calls) < 0.65  # 50/50 static-vs-video coin
 
 
+@pytest.mark.smoke
 def test_image_trainer_uses_negatives_but_not_video(tmp_path):
     """The image trainer keeps SICE negatives (`ProcessedDatasetFolderImg`
     still uses them) but never samples the video pools
@@ -365,6 +369,7 @@ def test_image_trainer_uses_negatives_but_not_video(tmp_path):
     assert not src.hdr_video and not src.srgb_video
 
 
+@pytest.mark.smoke
 def test_data_source_loud_on_missing_neg_pool(tmp_path):
     """Explicit-but-empty pool globs raise; an absent negative pool warns
     about degenerate contrastive negatives instead of silently reusing
@@ -384,6 +389,7 @@ def test_data_source_loud_on_missing_neg_pool(tmp_path):
                         lambda_table=lam)
 
 
+@pytest.mark.smoke
 def test_trainer_rejects_add_frame(tmp_path):
     opt = Options(batch_size=2, add_frame=1)
     opt.output_dir = str(tmp_path)
@@ -501,6 +507,7 @@ def test_async_saver_matches_sync_and_propagates_errors(tmp_path):
     saver.wait()
 
 
+@pytest.mark.smoke
 def test_checkpoint_writes_are_atomic(tmp_path, monkeypatch):
     """A kill mid-write must never leave a truncated newest .msgpack for
     latest_checkpoint() to resume from: checkpoints are written to a .tmp
@@ -537,6 +544,7 @@ def test_checkpoint_writes_are_atomic(tmp_path, monkeypatch):
     assert int(restored.step) == 3 and meta["epoch"] == 1
 
 
+@pytest.mark.smoke
 def test_sample_grid_draws_from_held_out_dirs(tmp_path):
     """With --test_dataroot_npy/_ldr populated, the 1/4-epoch sample grid
     must sample the DEDICATED held-out source (`Tester.py:126-148`,
@@ -591,6 +599,7 @@ def test_sample_grid_draws_from_held_out_dirs(tmp_path):
     assert trainer2.test_source is None
 
 
+@pytest.mark.smoke
 def test_async_host_worker_contract():
     """AsyncHostWorker runs tasks in submit order, re-raises a worker-side
     failure on wait() exactly once, and bounds its pending queue

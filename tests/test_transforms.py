@@ -5,6 +5,9 @@ import pytest
 
 from uncltmo_tpu.data import transforms as T
 
+# coffee-break tier: `pytest -m 'smoke and not slow'` (see pyproject.toml)
+pytestmark = pytest.mark.smoke
+
 
 @pytest.fixture
 def rng():
