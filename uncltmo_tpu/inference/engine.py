@@ -161,19 +161,13 @@ class TileEngine:
         return (len(axis_plan(h, self.tile, self.overlap).origins)
                 * len(axis_plan(w, self.tile, self.overlap).origins))
 
-    def _streamed_frame_core(self, h: int, w: int):
-        """Single-frame pipeline for LARGE tile plans (full-resolution
-        protocol leg: overlap 192, `model_save_util.py:303-304` — ~1.8k
-        tiles on a 4K frame).
-
-        A lax.scan over fixed-size tile chunks: each step gathers its chunk
-        with traced-origin dynamic_slices, runs one conv batch, and
-        accumulates the separably-weighted tiles into the canvas.  Program
-        size is O(chunk), resident memory is one chunk of tiles + the
-        canvas — both independent of the tile count (the unrolled path is
-        O(N) in program size and keeps all N tiles resident).  The blend
-        weights use the axis plans' separable form (mask = wy ⊗ wx), so
-        the (N, t, t) dense mask array is never built."""
+    def _stream_plan(self, h: int, w: int):
+        """Shared setup of both streamed tilers: the separable tile plan
+        (origins + per-axis blend weights, mask = wy ⊗ wx — the (N, t, t)
+        dense mask array is never built), padded to a whole number of
+        fixed-size chunks.  Padding tiles sit at origin (0, 0) with
+        all-zero weights: their forward runs (identical chunk shapes, one
+        compilation) but they contribute nothing to the canvas."""
         py = axis_plan(h, self.tile, self.overlap)
         px = axis_plan(w, self.tile, self.overlap)
         ny, nx = len(py.origins), len(px.origins)
@@ -187,14 +181,26 @@ class TileEngine:
         gran = len(self.mesh.devices.flat) if self.mesh is not None else 4
         chunk = min(_round_up(self.chunk, gran), _round_up(n, gran))
         n_pad = _round_up(n, chunk)
-        # padding tiles sit at origin (0, 0) with all-zero weights: their
-        # forward runs (identical chunk shapes, one compilation) but they
-        # contribute nothing to the canvas
         pad = n_pad - n
         origins_np = np.concatenate(
             [origins_np, np.zeros((pad, 2), np.int32)])
         wy_np = np.concatenate([wy_np, np.zeros((pad, t), np.float32)])
         wx_np = np.concatenate([wx_np, np.zeros((pad, t), np.float32)])
+        return origins_np, wy_np, wx_np, chunk, n_pad
+
+    def _streamed_frame_core(self, h: int, w: int):
+        """Single-frame pipeline for LARGE tile plans (full-resolution
+        protocol leg: overlap 192, `model_save_util.py:303-304` — ~1.8k
+        tiles on a 4K frame).
+
+        A lax.scan over fixed-size tile chunks: each step gathers its chunk
+        with traced-origin dynamic_slices, runs one conv batch, and
+        accumulates the separably-weighted tiles into the canvas.  Program
+        size is O(chunk), resident memory is one chunk of tiles + the
+        canvas — both independent of the tile count (the unrolled path is
+        O(N) in program size and keeps all N tiles resident)."""
+        origins_np, wy_np, wx_np, chunk, n_pad = self._stream_plan(h, w)
+        t = self.tile
         model, dtype = self.model, self.dtype
 
         def run(variables, image_hw1):
@@ -244,26 +250,8 @@ class TileEngine:
         independent of the tile count, where the unrolled `_build_video_fn`
         is O(N) in program size and keeps all N*T tiles resident (~0.5 GB
         per 4K frame at overlap 192 before multiplying by T)."""
-        py = axis_plan(h, self.tile, self.overlap)
-        px = axis_plan(w, self.tile, self.overlap)
-        ny, nx = len(py.origins), len(px.origins)
-        n = ny * nx
+        origins_np, wy_np, wx_np, chunk, n_pad = self._stream_plan(h, w)
         t = self.tile
-        origins_np = np.stack([np.repeat(py.origins, nx),
-                               np.tile(px.origins, ny)],
-                              axis=1).astype(np.int32)
-        wy_np = np.repeat(py.weights, nx, axis=0).astype(np.float32)
-        wx_np = np.tile(px.weights, (ny, 1)).astype(np.float32)
-        gran = len(self.mesh.devices.flat) if self.mesh is not None else 4
-        chunk = min(_round_up(self.chunk, gran), _round_up(n, gran))
-        n_pad = _round_up(n, chunk)
-        # padding tiles: origin (0, 0), all-zero weights — they run (one
-        # chunk shape, one compilation) but contribute nothing
-        pad = n_pad - n
-        origins_np = np.concatenate(
-            [origins_np, np.zeros((pad, 2), np.int32)])
-        wy_np = np.concatenate([wy_np, np.zeros((pad, t), np.float32)])
-        wx_np = np.concatenate([wx_np, np.zeros((pad, t), np.float32)])
         model, dtype = self.model, self.dtype
 
         def run(variables, video_thw1):
