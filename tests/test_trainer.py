@@ -29,6 +29,13 @@ def test_trainer_one_epoch(tmp_path):
     trainer.train()
     assert int(trainer.state.step) == 2  # 4 items / batch 2
 
+    # wall-breakdown instrumentation (feeds the bench leg's
+    # trainer_loop.wall_breakdown_s): every phase accounted, steps counted
+    tm = trainer.last_epoch_timings
+    assert tm["steps"] == 2
+    assert all(tm[k] >= 0.0 for k in
+               ("wait_s", "dispatch_s", "log_s", "summary_s"))
+
     # metrics stream written
     metrics_path = os.path.join(opt.output_dir, "train_metrics.jsonl")
     assert os.path.exists(metrics_path)
