@@ -43,18 +43,20 @@ def load_xspace(path: str):
     return xspace
 
 
-def op_table(xspace, line_filter=("XLA Ops", "XLA Modules", "Steps")):
-    """{op_name: (total_self_ns, count)} from device planes' XLA Ops lines."""
+def op_table(xspace, line_name="XLA Ops"):
+    """{op_name: (total_self_ns, count)} from the device planes' events on
+    the `line_name` line ("XLA Ops" self-time by default; pass e.g.
+    "XLA Modules" or "Steps" to aggregate a different plane line)."""
     out = collections.defaultdict(lambda: [0, 0])
     planes = [p for p in xspace.planes
               if "TPU" in p.name or "/device:" in p.name.lower()
               or p.name.startswith("/device")]
-    if not planes:  # fall back: any plane with an XLA Ops line
+    if not planes:  # fall back: any plane with a matching line
         planes = list(xspace.planes)
     for plane in planes:
         ev_names = dict(plane.event_metadata.items())
         for line in plane.lines:
-            if line.name != "XLA Ops":
+            if line.name != line_name:
                 continue
             for ev in line.events:
                 md = ev_names.get(ev.metadata_id)
@@ -65,6 +67,10 @@ def op_table(xspace, line_filter=("XLA Ops", "XLA Modules", "Steps")):
 
 
 def main(argv):
+    if len(argv) < 2:
+        print("usage: python scripts/xplane_top_ops.py <trace_dir> [top_n]",
+              file=sys.stderr)
+        return 2
     trace_dir = argv[1]
     top_n = int(argv[2]) if len(argv) > 2 else 25
     path = find_xplane(trace_dir)

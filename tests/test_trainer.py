@@ -685,3 +685,19 @@ def test_trainer_tester_hook_logs_heldout_tmqi(tmp_path):
     # trajectory baked into dir names, reference-style
     dirs = os.listdir(os.path.join(opt.output_dir, "model_results"))
     assert dirs and all("tmqi" in d for d in dirs)
+
+
+@pytest.mark.smoke
+def test_metrics_logger_nan_serializes_as_null(tmp_path):
+    """Non-finite metric values must land in the JSONL as null — a bare
+    NaN literal is not JSON and breaks strict consumers (jq, pandas).
+    The in-memory history keeps the float NaN so plots show the gap."""
+    from uncltmo_tpu.utils.logging import MetricsLogger
+    lg = MetricsLogger(str(tmp_path))
+    lg.log(1, {"test/tmqi": float("nan"), "errG": 0.5})
+    lg.close()
+    line = open(lg.path).read().strip()
+    assert "NaN" not in line and "Infinity" not in line
+    rec = json.loads(line)
+    assert rec["test/tmqi"] is None and rec["errG"] == 0.5
+    assert np.isnan(lg.history["test/tmqi"][0][1])

@@ -74,10 +74,16 @@ class MetricsLogger:
         self._f = open(self.path, "a")
 
     def log(self, step: int, metrics: Dict[str, float], **extra) -> None:
+        import math
         rec = {"step": int(step), "time": time.time(), **extra}
         for k, v in metrics.items():
             v = float(v)
-            rec[k] = v
+            # non-finite values (e.g. TMQI on an untrained net's renders)
+            # serialize as null: json.dumps would emit a bare NaN literal,
+            # which is not JSON — strict consumers (jq, pandas, JS) choke
+            # on the whole line.  History keeps the float NaN so plots
+            # show the gap.
+            rec[k] = v if math.isfinite(v) else None
             self.history[k].append((step, v))
         self._f.write(json.dumps(rec) + "\n")
         self._f.flush()
@@ -109,9 +115,11 @@ class MetricsLogger:
                     continue
                 # long runs: cap points per series — the render runs on the
                 # trainer's host worker every 1/4 epoch and must stay O(1),
-                # not O(total steps)
+                # not O(total steps).  The newest point is kept explicitly
+                # (strided decimation alone could drop it, leaving the
+                # curve's right edge up to stride-1 intervals stale).
                 if len(hist) > 2000:
-                    hist = hist[:: -(-len(hist) // 2000)]
+                    hist = hist[:-1: -(-len(hist) // 2000)] + [hist[-1]]
                 steps, vals = zip(*hist)
                 ax.plot(steps, vals, label=k)
                 drew = True
