@@ -131,8 +131,11 @@ def measure_fullres(frames_per_call: int = 2, calls: int = 2) -> dict:
     model = UNetTMO(fast_upsample=True)
     variables = jax.jit(model.init)(jax.random.PRNGKey(0),
                                     jnp.zeros((1, 256, 256, 1)))
+    # default chunk: the engine picks the measured-best 120 tiles/scan-step
+    # for streamed plans (1.79 fps vs 1.09 at 60 on this leg — the C=32
+    # convs need ~120-deep batches to fill the MXU)
     engine = TileEngine(model, variables, tile=256, overlap=192,
-                        chunk=60, dtype=jnp.bfloat16)
+                        dtype=jnp.bfloat16)
     n_tiles = engine._n_tiles(FULL_PAD_H, FULL_PAD_W)
 
     rng = np.random.default_rng(4)
@@ -179,7 +182,8 @@ def measure_fullres(frames_per_call: int = 2, calls: int = 2) -> dict:
         # are cached on disk keyed by the tiling geometry.
         mem_cache = os.path.join(REPO, ".bench_memory_4k.json")
         geom = {"hw": [FULL_PAD_H, FULL_PAD_W], "tile": 256,
-                "overlap": 192, "chunk": 60}
+                "overlap": 192,
+                "chunk": engine._chunk_for(n_tiles)}
         try:
             with open(mem_cache) as f:
                 cached = json.load(f)

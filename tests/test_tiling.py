@@ -235,3 +235,30 @@ def test_video_engine_streamed_matches_unrolled(monkeypatch):
                                unrolled_video, atol=1e-6)
     np.testing.assert_allclose(np.asarray(eng2.run_videos(scenes)),
                                unrolled_scenes, atol=1e-6)
+
+
+@pytest.mark.smoke
+def test_default_chunk_policy():
+    """chunk=None picks the measured-best tiles-per-conv-batch (v5e sweep,
+    PERF.md round 5): 60 for unrolled plans, 120 for streamed large plans;
+    always rounded to the mesh granularity and capped at the padded plan
+    size.  An explicit chunk is honored unchanged."""
+    import jax
+    import jax.numpy as jnp
+    from uncltmo_tpu.inference import engine as eng_mod
+    from uncltmo_tpu.inference.engine import TileEngine
+    from uncltmo_tpu.models.unet import UNetTMO
+
+    model = UNetTMO()
+    eng = TileEngine(model, {"params": None})
+    # 1080p quarter-res protocol plan: 60 tiles -> one 60-tile conv batch
+    assert eng._n_tiles(1088, 1936) == 60
+    assert eng._chunk_for(60) == 60
+    # 4K full-res protocol plan: streamed -> 120
+    n4k = eng._n_tiles(2176, 3856)
+    assert n4k > eng_mod.STREAM_TILE_THRESHOLD
+    assert eng._chunk_for(n4k) == 120
+    # small plans never pad past the plan itself (rounded to granularity 4)
+    assert eng._chunk_for(15) == 16
+    # explicit chunk wins
+    assert TileEngine(model, {"params": None}, chunk=8)._chunk_for(60) == 8

@@ -104,13 +104,20 @@ class TileEngine:
       chunk: max tiles per forward; bounds activation memory and lets XLA
         pipeline HBM traffic.  The tile batch is padded to a multiple of
         `chunk` so every chunk has an identical shape (one compilation).
+        None (default) picks the measured-best size per plan: 60 for
+        unrolled plans (the 1080p/quarter-res protocol is exactly 60
+        tiles — one conv batch per frame), 120 for streamed large plans
+        (on the v5e chip the 4K/overlap-192 leg runs 1.79 fps at
+        chunk 120 vs 1.09 at 60 and 1.39 at 180 — the C=32 convs need
+        ~120-deep batches to fill the MXU, while 180 doubles the scan
+        body's working set past what the pipeline hides).
       dtype: compute dtype for the forward (bfloat16 for speed, float32 for
         strict parity runs).  Blending always accumulates in float32.
     """
 
     def __init__(self, model: UNetTMO, variables, tile: int = 256,
-                 overlap: int = 64, chunk: int = 16, dtype=jnp.float32,
-                 mesh=None):
+                 overlap: int = 64, chunk: int | None = None,
+                 dtype=jnp.float32, mesh=None):
         self.model = model
         self.tile = tile
         self.overlap = overlap
@@ -161,6 +168,17 @@ class TileEngine:
         return (len(axis_plan(h, self.tile, self.overlap).origins)
                 * len(axis_plan(w, self.tile, self.overlap).origins))
 
+    def _chunk_for(self, n: int) -> int:
+        """Tiles per conv batch for an n-tile plan: the explicit `chunk`
+        if one was given, else the measured-best default (see __init__),
+        rounded to the mesh granularity and capped at the padded plan
+        size."""
+        base = self.chunk
+        if base is None:
+            base = 120 if n > STREAM_TILE_THRESHOLD else 60
+        gran = len(self.mesh.devices.flat) if self.mesh is not None else 4
+        return min(_round_up(base, gran), _round_up(n, gran))
+
     def _stream_plan(self, h: int, w: int):
         """Shared setup of both streamed tilers: the separable tile plan
         (origins + per-axis blend weights, mask = wy ⊗ wx — the (N, t, t)
@@ -178,8 +196,7 @@ class TileEngine:
                               axis=1).astype(np.int32)
         wy_np = np.repeat(py.weights, nx, axis=0).astype(np.float32)
         wx_np = np.tile(px.weights, (ny, 1)).astype(np.float32)
-        gran = len(self.mesh.devices.flat) if self.mesh is not None else 4
-        chunk = min(_round_up(self.chunk, gran), _round_up(n, gran))
+        chunk = self._chunk_for(n)
         n_pad = _round_up(n, chunk)
         pad = n_pad - n
         origins_np = np.concatenate(
@@ -301,8 +318,7 @@ class TileEngine:
         masks_np = plan.masks
         n = origins.shape[0]
         t = self.tile
-        gran = len(self.mesh.devices.flat) if self.mesh is not None else 4
-        chunk = min(_round_up(self.chunk, gran), _round_up(n, gran))
+        chunk = self._chunk_for(n)
         n_pad = _round_up(n, chunk)
         model, dtype = self.model, self.dtype
 
@@ -474,8 +490,7 @@ class TileEngine:
         masks_np = plan.masks
         n = origins.shape[0]
         t = self.tile
-        gran = len(self.mesh.devices.flat) if self.mesh is not None else 4
-        chunk = min(_round_up(self.chunk, gran), _round_up(n, gran))
+        chunk = self._chunk_for(n)
         n_pad = _round_up(n, chunk)
         model, dtype = self.model, self.dtype
 

@@ -115,7 +115,7 @@ class InferenceRunner:
 
     def __init__(self, model_params: Dict, net_path: str,
                  video: bool = False, tile: int = 256, overlap: int = 64,
-                 dtype=jnp.float32, chunk: int = 16,
+                 dtype=jnp.float32, chunk: int | None = None,
                  params_G=None, whole_image: bool = False):
         _enable_compile_cache()
         self.add_frame = bool(int(model_params.get("add_frame", 0)))
