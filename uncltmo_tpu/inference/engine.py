@@ -172,7 +172,13 @@ class TileEngine:
         """Tiles per conv batch for an n-tile plan: the explicit `chunk`
         if one was given, else the measured-best default (see __init__),
         rounded to the mesh granularity and capped at the padded plan
-        size."""
+        size.
+
+        Video plans: the streamed working set is `chunk` VIDEO tiles
+        (chunk x T x t x t), so T multiplies it — at the published 6-frame
+        scenes that is ~190 MB at 4K, far from HBM.  The binding constraint
+        for very long scenes is the (T, H, W) canvas itself, which no chunk
+        choice can shrink — split such scenes temporally at the caller."""
         base = self.chunk
         if base is None:
             base = 120 if n > STREAM_TILE_THRESHOLD else 60
