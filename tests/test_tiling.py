@@ -240,9 +240,10 @@ def test_video_engine_streamed_matches_unrolled(monkeypatch):
 @pytest.mark.smoke
 def test_default_chunk_policy():
     """chunk=None picks the measured-best tiles-per-conv-batch (v5e sweep,
-    PERF.md round 5): 60 for unrolled plans, 120 for streamed large plans;
-    always rounded to the mesh granularity and capped at the padded plan
-    size.  An explicit chunk is honored unchanged."""
+    PERF.md round 5): one batch of the whole plan up to 120 tiles
+    (unrolled), equalized ~120-tile chunks above (streamed); always
+    rounded to the mesh granularity and capped at the padded plan size.
+    An explicit chunk is honored unchanged."""
     import jax
     import jax.numpy as jnp
     from uncltmo_tpu.inference import engine as eng_mod
@@ -254,10 +255,17 @@ def test_default_chunk_policy():
     # 1080p quarter-res protocol plan: 60 tiles -> one 60-tile conv batch
     assert eng._n_tiles(1088, 1936) == 60
     assert eng._chunk_for(60) == 60
-    # 4K full-res protocol plan: streamed -> 120
-    n4k = eng._n_tiles(2176, 3856)
-    assert n4k > eng_mod.STREAM_TILE_THRESHOLD
-    assert eng._chunk_for(n4k) == 120
+    # a 120-tile plan is still ONE batch (splitting it costs ~25%)
+    assert eng._chunk_for(120) == 120
+    # 4K full-res protocol plan (overlap 192): streamed, equalized -> 120
+    eng192 = TileEngine(model, {"params": None}, overlap=192)
+    n4k = eng192._n_tiles(2176, 3856)
+    assert n4k == 1798 > eng_mod.STREAM_TILE_THRESHOLD
+    assert eng192._chunk_for(n4k) == 120
+    # just past a chunk boundary the chunks EQUALIZE instead of padding
+    # half a chunk: 124 tiles -> 2x64 (4 pad tiles), not 2x120 (116 pad)
+    assert eng._chunk_for(124) == 64
+    assert eng._chunk_for(190) == 96
     # small plans never pad past the plan itself (rounded to granularity 4)
     assert eng._chunk_for(15) == 16
     # explicit chunk wins

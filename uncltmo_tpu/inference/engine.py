@@ -27,17 +27,20 @@ def _round_up(n: int, m: int) -> int:
     return -(-n // m) * m
 
 
-# Above this many tiles per conv batch the unrolled gather/blend program
-# (one dynamic_slice + dynamic_update_slice pair per tile, static origins)
-# is replaced by the STREAMED path: a lax.scan over fixed-size chunks with
-# origins read from a traced array.  The unrolled form is faster at the
-# published 1080p scale (~60-120 tiles; XLA interleaves the independent
-# slice chains) but its HLO grows linearly with the tile count — the
-# full-resolution protocol leg (overlap 192, `model_save_util.py:303-304`)
-# puts ~1.8k tiles on a 4K frame, where the unrolled program's trace/compile
-# time and the all-tiles-resident gather (0.5 GB at 4K) are both
-# prohibitive.  The streamed path holds one chunk of tiles + the canvas.
-STREAM_TILE_THRESHOLD = 192
+# Above this many tiles the unrolled gather/blend program (one
+# dynamic_slice + dynamic_update_slice pair per tile, static origins) is
+# replaced by the STREAMED path: a lax.scan over fixed-size chunks with
+# origins read from a traced array.  Measured head to head at MATCHED
+# conv-batch depth (PERF.md round 5) the two forms are runtime-identical —
+# the round-4 "unrolled is 1.5x faster" crossover was a batch-depth
+# confound — so the threshold is purely a compile-time/memory decision:
+# the unrolled program's HLO grows linearly with the tile count (a
+# 120-tile unrolled compile measured 30-470 s vs ~10-20 s streamed, and
+# the full-res protocol's ~1.8k-tile unrolled form never compiled), while
+# the streamed program is O(chunk) in both.  The threshold sits at the
+# measured-best batch depth: any plan that fits one 120-tile conv batch
+# runs unrolled in a single forward; anything larger streams.
+STREAM_TILE_THRESHOLD = 120
 
 
 def _scatter_blend(weighted, origins, out_shape):
@@ -104,13 +107,13 @@ class TileEngine:
       chunk: max tiles per forward; bounds activation memory and lets XLA
         pipeline HBM traffic.  The tile batch is padded to a multiple of
         `chunk` so every chunk has an identical shape (one compilation).
-        None (default) picks the measured-best size per plan: 60 for
-        unrolled plans (the 1080p/quarter-res protocol is exactly 60
-        tiles — one conv batch per frame), 120 for streamed large plans
-        (on the v5e chip the 4K/overlap-192 leg runs 1.79 fps at
-        chunk 120 vs 1.09 at 60 and 1.39 at 180 — the C=32 convs need
-        ~120-deep batches to fill the MXU, while 180 doubles the scan
-        body's working set past what the pipeline hides).
+        None (default) picks the measured-best size per plan (see
+        `_chunk_for`): plans up to 120 tiles run as ONE conv batch;
+        larger plans stream in equalized chunks of ~120 (on the v5e chip
+        the 4K/overlap-192 leg runs 1.79 fps at chunk 120 vs 1.09 at 60
+        and 1.39 at 180 — the C=32 convs need ~120-deep batches to fill
+        the MXU, while 180 doubles the scan body's working set past what
+        the pipeline hides).
       dtype: compute dtype for the forward (bfloat16 for speed, float32 for
         strict parity runs).  Blending always accumulates in float32.
     """
@@ -170,20 +173,32 @@ class TileEngine:
 
     def _chunk_for(self, n: int) -> int:
         """Tiles per conv batch for an n-tile plan: the explicit `chunk`
-        if one was given, else the measured-best default (see __init__),
-        rounded to the mesh granularity and capped at the padded plan
-        size.
+        if one was given (rounded to the mesh granularity, capped at the
+        padded plan size), else the measured-best default (see __init__):
+
+        * n <= 120 (unrolled): ONE conv batch of the whole plan — the
+          chip sweep showed splitting a 120-tile plan into 60-tile
+          batches costs ~25% throughput;
+        * n > 120 (streamed): chunks EQUALIZED across ceil(n/120) scan
+          steps rather than fixed at 120, so a 124-tile plan runs 2x64
+          (4 padding tiles) instead of 2x120 (116 padding tiles — the
+          fixed-chunk form would nearly double the work just past a
+          chunk boundary).  At the 4K protocol scale this degenerates to
+          the fixed 120 (1798 -> 15 x 120).
 
         Video plans: the streamed working set is `chunk` VIDEO tiles
         (chunk x T x t x t), so T multiplies it — at the published 6-frame
         scenes that is ~190 MB at 4K, far from HBM.  The binding constraint
         for very long scenes is the (T, H, W) canvas itself, which no chunk
         choice can shrink — split such scenes temporally at the caller."""
-        base = self.chunk
-        if base is None:
-            base = 120 if n > STREAM_TILE_THRESHOLD else 60
         gran = len(self.mesh.devices.flat) if self.mesh is not None else 4
-        return min(_round_up(base, gran), _round_up(n, gran))
+        if self.chunk is not None:
+            return min(_round_up(self.chunk, gran), _round_up(n, gran))
+        if n > STREAM_TILE_THRESHOLD:
+            n_chunks = -(-n // 120)
+            return min(_round_up(-(-n // n_chunks), gran),
+                       _round_up(n, gran))
+        return _round_up(n, gran)
 
     def _stream_plan(self, h: int, w: int):
         """Shared setup of both streamed tilers: the separable tile plan
